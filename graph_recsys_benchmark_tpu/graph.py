@@ -1,0 +1,193 @@
+"""Static graph tensors: padded, destination-sorted edge lists per metapath step.
+
+The reference feeds raw ``edge_index`` int64 tensors straight into PyG convs
+(reference: utils/general_utils.py:280-395 builds per-metapath step lists;
+each conv then recomputes degrees / adds self-loops on the fly).  On TPU,
+everything under ``jit`` must be shape-static, so this module moves all of
+that per-step preprocessing to graph-build time:
+
+  * edges are sorted by destination (stable, then by source) so segment
+    reductions can use `indices_are_sorted=True` and the Pallas MXU kernel,
+  * self-loops (where the conv semantics require them) are materialized as
+    real edges,
+  * normalization coefficients (GCN symmetric norm, SAGE 1/indeg mean
+    weights, NGCF 1/sqrt(deg_i deg_j)) are precomputed into a per-edge
+    weight vector `w` (w == 0 marks padding ⇒ padded messages are exactly 0),
+  * arrays are padded to a multiple of `pad_to` (the Pallas edge-chunk size)
+    with destination sentinel == num_nodes, which out-of-bounds scatter
+    semantics drop.
+
+Conv-specific math is documented in nn/conv.py; the builders here replicate:
+  GCN  : PyG 1.5 gcn_conv.norm — deg over *source* row of A+I, then
+         1/sqrt(deg_src) * 1/sqrt(deg_dst) per edge.
+  GAT  : remove self-loops, then add one self-loop per node (PyG 1.5
+         GATConv.forward); attention computed at run time.
+  SAGE : mean aggregation — w = 1/indeg(dst), no self-loops.
+  NGCF : reference nn/ngcf_conv.py:35-44 — deg_i = floor(count(i in either
+         row)/2) (integer division, matching torch 1.5 LongTensor '/'),
+         coff = 1/sqrt(deg_i * deg_j), self-loops removed.
+  KG   : (KGAT/KGCN) raw typed edges + signed relation ids, attention map
+         supplied externally (experiments/kgat_solver_bpr.py:311-320).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+PAD_TO = 512  # must match ops.pallas_segment._C
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class StepGraph:
+    """One message-passing step: E_pad edges over `num_nodes` nodes.
+
+    src/dst: int32[E_pad], sorted by dst; padding has dst == num_nodes, src=0.
+    w:       float32[E_pad] per-edge coefficient; 0 on padding edges.
+    rel:     int32[E_pad] signed relation ids (0 when unused).
+    """
+
+    src: jnp.ndarray
+    dst: jnp.ndarray
+    w: jnp.ndarray
+    rel: jnp.ndarray
+    num_nodes: int
+    num_edges: int  # valid (non-padding) edges
+
+    def tree_flatten(self):
+        return (self.src, self.dst, self.w, self.rel), (self.num_nodes, self.num_edges)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def _sort_pad(src, dst, w, rel, num_nodes, pad_to=PAD_TO):
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    order = np.lexsort((src, dst))
+    src, dst, w, rel = src[order], dst[order], w[order], rel[order]
+    e = src.shape[0]
+    e_pad = max(pad_to, -(-e // pad_to) * pad_to)
+    pad = e_pad - e
+    src = np.concatenate([src, np.zeros(pad, dtype=np.int64)])
+    dst = np.concatenate([dst, np.full(pad, num_nodes, dtype=np.int64)])
+    w = np.concatenate([w, np.zeros(pad, dtype=np.float32)])
+    rel = np.concatenate([rel, np.zeros(pad, dtype=np.int64)])
+    return StepGraph(
+        src=jnp.asarray(src, dtype=jnp.int32),
+        dst=jnp.asarray(dst, dtype=jnp.int32),
+        w=jnp.asarray(w.astype(np.float32)),
+        rel=jnp.asarray(rel, dtype=jnp.int32),
+        num_nodes=int(num_nodes),
+        num_edges=int(e),
+    )
+
+
+def _with_self_loops(src, dst, num_nodes, remove_existing=True):
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    if remove_existing:
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+    loops = np.arange(num_nodes, dtype=np.int64)
+    return np.concatenate([src, loops]), np.concatenate([dst, loops])
+
+
+def build_gcn_graph(src, dst, num_nodes, pad_to=PAD_TO) -> StepGraph:
+    """PyG 1.5 GCNConv norm: add self-loops for every node, deg over the
+    source row, w_e = deg^-1/2[src] * deg^-1/2[dst]."""
+    # add_remaining_self_loops keeps existing loops and only adds missing
+    # ones; appending unconditionally would double-count loops, so dedupe.
+    has_loop = np.zeros(num_nodes, dtype=bool)
+    orig_src = np.asarray(src, dtype=np.int64)
+    orig_dst = np.asarray(dst, dtype=np.int64)
+    loop_mask = orig_src == orig_dst
+    has_loop[orig_src[loop_mask]] = True
+    loops = np.arange(num_nodes, dtype=np.int64)[~has_loop]
+    src2 = np.concatenate([orig_src, loops])
+    dst2 = np.concatenate([orig_dst, loops])
+
+    deg = np.bincount(src2, minlength=num_nodes).astype(np.float64)
+    dinv = np.zeros_like(deg)
+    nz = deg > 0
+    dinv[nz] = deg[nz] ** -0.5
+    w = (dinv[src2] * dinv[dst2]).astype(np.float32)
+    rel = np.zeros_like(src2)
+    return _sort_pad(src2, dst2, w, rel, num_nodes, pad_to)
+
+
+def build_gat_graph(src, dst, num_nodes, pad_to=PAD_TO) -> StepGraph:
+    """PyG 1.5 GATConv: remove self-loops, add one per node; w=1 (attention
+    replaces it at run time)."""
+    src2, dst2 = _with_self_loops(src, dst, num_nodes, remove_existing=True)
+    w = np.ones(src2.shape[0], dtype=np.float32)
+    rel = np.zeros_like(src2)
+    return _sort_pad(src2, dst2, w, rel, num_nodes, pad_to)
+
+
+def build_sage_graph(src, dst, num_nodes, pad_to=PAD_TO) -> StepGraph:
+    """PyG 1.5 SAGEConv mean aggregation: w_e = 1/indeg(dst), no self-loops."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    indeg = np.bincount(dst, minlength=num_nodes).astype(np.float64)
+    w = (1.0 / np.maximum(indeg, 1.0))[dst].astype(np.float32)
+    rel = np.zeros_like(src)
+    return _sort_pad(src, dst, w, rel, num_nodes, pad_to)
+
+
+def build_ngcf_graph(src, dst, num_nodes, pad_to=PAD_TO) -> StepGraph:
+    """Reference NGCFConv degree scheme (nn/ngcf_conv.py:35-44): deg_i =
+    (occurrences of i in either edge row) // 2 — integer division exactly as
+    torch 1.5 LongTensor '/' — and coff_e = 1/sqrt(deg_dst * deg_src)."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    keep = src != dst  # reference removes self loops before propagate
+    src, dst = src[keep], dst[keep]
+    count = np.bincount(src, minlength=num_nodes) + np.bincount(dst, minlength=num_nodes)
+    deg = (count // 2).astype(np.float64)
+    prod = deg[src] * deg[dst]
+    w = np.zeros(src.shape[0], dtype=np.float64)
+    nz = prod > 0
+    w[nz] = 1.0 / np.sqrt(prod[nz])
+    rel = np.zeros_like(src)
+    return _sort_pad(src, dst, w.astype(np.float32), rel, num_nodes, pad_to)
+
+
+def build_kg_graph(src, dst, rel, num_nodes, pad_to=PAD_TO) -> StepGraph:
+    """KGAT/KGCN typed graph: raw edges with signed relation ids; the
+    attention map is computed per epoch over `(src, dst, rel)` in this fixed
+    sorted order.  Self-loops removed (reference KGATConv/KGCNConv forward)."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    rel = np.asarray(rel, dtype=np.int64)
+    keep = src != dst
+    src, dst, rel = src[keep], dst[keep], rel[keep]
+    w = np.ones(src.shape[0], dtype=np.float32)
+    return _sort_pad(src, dst, w, rel, num_nodes, pad_to)
+
+
+_BUILDERS = {
+    "gcn": build_gcn_graph,
+    "gat": build_gat_graph,
+    "sage": build_sage_graph,
+    "ngcf": build_ngcf_graph,
+}
+
+
+def build_metapath_graphs(
+    metapath_steps, num_nodes, conv: str, pad_to=PAD_TO
+) -> Tuple[Tuple[StepGraph, ...], ...]:
+    """Compile a metapath list (list of lists of (src, dst) numpy edge pairs,
+    mirroring utils/general_utils.py:update_pea_graph_input) into per-step
+    StepGraphs for the given conv type."""
+    build = _BUILDERS[conv]
+    out = []
+    for steps in metapath_steps:
+        out.append(tuple(build(s, d, num_nodes, pad_to) for (s, d) in steps))
+    return tuple(out)

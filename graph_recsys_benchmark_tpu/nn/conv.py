@@ -1,0 +1,170 @@
+"""Graph conv layers as pure (params, x, graph) -> x functions.
+
+Each conv replicates the math of the layer the reference uses, re-designed
+for TPU: all degree/self-loop work is precompiled into the StepGraph
+(graph.py), messages are gathered with XLA dense gathers, and the segment
+reduction runs on the Pallas MXU kernel on TPU (ops/pallas_segment.py) or
+XLA scatter elsewhere.
+
+Semantics sources (PyG 1.5.0 — pinned by the reference requirements.txt):
+  GCNConv : out_i = sum_{(j,i) in E+I} (deg_j^-1/2 deg_i^-1/2) (x_j W) + b
+            with deg over the *source* row of A+I  [torch_geometric/nn/conv/gcn_conv.py]
+  GATConv : alpha_e = softmax_dst(leaky_relu(att_dst . (x_i W) + att_src . (x_j W)))
+            out_i = concat_heads(sum_j alpha_e (x_j W)) + b  [gat_conv.py]
+  SAGEConv: out = mean_j(x_j) W_rel + b + x W_root            [sage_conv.py]
+  NGCFConv: reference nn/ngcf_conv.py:42-48
+  KGATConv: reference nn/kgat_conv.py:43-54
+  KGCNConv: reference nn/kgcn_conv.py:39-44
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..graph import StepGraph
+from ..ops import segment_softmax, segment_sum
+from ..ops.pallas_segment import segment_sum_auto
+from .init import glorot, torch_linear_bias, torch_linear_weight, zeros_init
+
+
+def _aggregate(msgs, g: StepGraph, use_pallas=None):
+    """Segment-sum edge messages into destination nodes.
+
+    msgs may be [E, D] or [E, H, C]; reshaped to 2D for the Pallas path."""
+    shape = msgs.shape
+    if msgs.ndim > 2:
+        msgs = msgs.reshape(shape[0], -1)
+    out = segment_sum_auto(msgs, g.dst, g.num_nodes, use_pallas=use_pallas)
+    if len(shape) > 2:
+        out = out.reshape((g.num_nodes,) + shape[1:])
+    return out
+
+
+def _dot(x, w):
+    return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------- GCNConv
+
+
+def gcn_init(key, in_dim, out_dim):
+    return {"w": glorot(key, (in_dim, out_dim)), "b": zeros_init((out_dim,))}
+
+
+def gcn_apply(params, x, g: StepGraph, use_pallas=None):
+    h = _dot(x, params["w"])
+    msgs = g.w[:, None] * h[g.src]
+    return _aggregate(msgs, g, use_pallas) + params["b"]
+
+
+# ---------------------------------------------------------------- GATConv
+
+
+def gat_init(key, in_dim, out_dim, heads=1):
+    kw, ka = jax.random.split(key)
+    return {
+        "w": glorot(kw, (in_dim, heads * out_dim)),
+        # stored exactly as PyG's att param [1, H, 2C] so glorot fan matches
+        "att": glorot(ka, (1, heads, 2 * out_dim)),
+        "b": zeros_init((heads * out_dim,)),
+    }
+
+
+def gat_apply(
+    params,
+    x,
+    g: StepGraph,
+    heads=1,
+    concat=True,
+    negative_slope=0.2,
+    dropout=0.0,
+    dropout_key=None,
+    use_pallas=None,
+):
+    n = g.num_nodes
+    h = _dot(x, params["w"]).reshape(n, heads, -1)  # [N, H, C]
+    att = params["att"][0]  # [H, 2C]
+    c = att.shape[-1] // 2
+    att_dst, att_src = att[:, :c], att[:, c:]  # x_i (target) first, then x_j
+    alpha_dst = jnp.sum(h * att_dst[None], axis=-1)  # [N, H]
+    alpha_src = jnp.sum(h * att_src[None], axis=-1)
+    alpha = alpha_dst[g.dst] + alpha_src[g.src]  # [E, H]
+    alpha = jax.nn.leaky_relu(alpha, negative_slope)
+    alpha = segment_softmax(alpha, g.dst, n)
+    if dropout > 0.0 and dropout_key is not None:
+        keep = jax.random.bernoulli(dropout_key, 1.0 - dropout, alpha.shape)
+        alpha = jnp.where(keep, alpha / (1.0 - dropout), 0.0)
+    msgs = h[g.src] * alpha[:, :, None]  # [E, H, C]
+    out = _aggregate(msgs, g, use_pallas)  # [N, H, C]
+    if concat:
+        out = out.reshape(n, heads * c)
+    else:
+        out = out.mean(axis=1)
+    return out + params["b"]
+
+
+# ---------------------------------------------------------------- SAGEConv
+
+
+def sage_init(key, in_dim, out_dim):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "w_rel": torch_linear_weight(k1, in_dim, out_dim),
+        "b_rel": torch_linear_bias(k2, in_dim, out_dim),
+        "w_root": torch_linear_weight(k3, in_dim, out_dim),
+    }
+
+
+def sage_apply(params, x, g: StepGraph, use_pallas=None):
+    # g.w = 1/indeg(dst) turns the segment-sum into PyG's mean aggregation.
+    msgs = g.w[:, None] * x[g.src]
+    mean_agg = _aggregate(msgs, g, use_pallas)
+    return _dot(mean_agg, params["w_rel"]) + params["b_rel"] + _dot(x, params["w_root"])
+
+
+# ---------------------------------------------------------------- NGCFConv
+
+
+def ngcf_init(key, in_dim, out_dim):
+    k1, k2 = jax.random.split(key)
+    return {"w1": glorot(k1, (in_dim, out_dim)), "w2": glorot(k2, (in_dim, out_dim))}
+
+
+def ngcf_apply(params, x, g: StepGraph, negative_slope=0.2, use_pallas=None):
+    x_j, x_i = x[g.src], x[g.dst]
+    msgs = g.w[:, None] * (_dot(x_j, params["w1"]) + _dot(x_i * x_j, params["w2"]))
+    aggr = _aggregate(msgs, g, use_pallas)
+    return jax.nn.leaky_relu(_dot(x, params["w1"]) + aggr, negative_slope)
+
+
+# ---------------------------------------------------------------- KGATConv
+
+
+def kgat_init(key, in_dim, out_dim):
+    k1, k2 = jax.random.split(key)
+    return {
+        "w_add": glorot(k1, (in_dim, out_dim)),
+        "w_bi": glorot(k2, (in_dim, out_dim)),
+        "b": zeros_init((out_dim,)),
+    }
+
+
+def kgat_apply(params, x, g: StepGraph, att_map, negative_slope=0.2, use_pallas=None):
+    """att_map: float[E_pad] per-edge attention (0 on padding)."""
+    aggr = _aggregate(att_map[:, None] * x[g.src], g, use_pallas)
+    add_aggr = jax.nn.leaky_relu(_dot(x + aggr, params["w_add"]), negative_slope)
+    bi_aggr = jax.nn.leaky_relu(_dot(x * aggr, params["w_bi"]), negative_slope)
+    return add_aggr + bi_aggr + params["b"]
+
+
+# ---------------------------------------------------------------- KGCNConv
+
+
+def kgcn_init(key, in_dim, out_dim):
+    return {"w": glorot(key, (in_dim, out_dim)), "b": zeros_init((out_dim,))}
+
+
+def kgcn_apply(params, x, g: StepGraph, att_map, use_pallas=None):
+    aggr = _aggregate(att_map[:, None] * x[g.src], g, use_pallas)
+    return jax.nn.relu(_dot(aggr + x, params["w"]) + params["b"])

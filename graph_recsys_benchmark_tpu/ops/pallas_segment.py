@@ -1,0 +1,205 @@
+"""Pallas TPU kernel: sorted segment-sum as block one-hot matmuls on the MXU.
+
+This is the TPU-native replacement for the `torch-scatter` CUDA scatter-add
+that sits inside every PyG ``MessagePassing.propagate`` call of the reference
+(see SURVEY.md section 2.4).  Instead of translating scatter-add, we exploit
+that all edge lists in this framework are *sorted by destination* and
+*statically padded*:
+
+  grid = row blocks of the output (R=128 destination nodes per program)
+  for each edge chunk (C=512 edges) overlapping the row block:
+      DMA the chunk's messages [D, C] and destinations [1, C] HBM -> VMEM
+      build the one-hot block matrix  OH[r, c] = (dst[c] == row0 + r)
+      acc[R, D] += OH . msgs^T       # dot_general contracting on C (MXU)
+
+Messages live in HBM *feature-major* ([D, E]) so every manual DMA slices
+along the 128-lane axis in aligned C=512 chunks — Mosaic rejects slices
+whose minor dim isn't lane-aligned, which rules out the naive [E, D] layout
+for D = 64/16.  The wrapper transposes (XLA fuses this into the message
+producer) and pads D up to a sublane multiple of 8.
+
+Per-row-block edge ranges are precomputed with a searchsorted and handed to
+the kernel via scalar prefetch, so each program only touches the chunks that
+can contain its rows.  Padding edges carry a destination sentinel == num_rows
+and therefore never match any row.
+
+The backward pass of segment-sum is a plain gather (`g[dst]`), which XLA
+already does well, so the custom VJP routes the backward through XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Row-block (output rows per program) and edge-chunk sizes.  R matches the
+# MXU tile; C amortizes DMA latency while keeping VMEM use small
+# (2*C*D*4B = 256KB at D=64).
+_R = 128
+_C = 512
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _kernel(chunk_bounds_ref, msgs_t_hbm, dst_hbm, out_ref, msg_buf, dst_buf, sems):
+    i = pl.program_id(0)
+    c_lo = chunk_bounds_ref[i, 0]
+    c_hi = chunk_bounds_ref[i, 1]
+    row0 = i * _R
+
+    out_ref[:] = jnp.zeros_like(out_ref)
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (_R, _C), dimension=0) + row0
+
+    def start_dma(c, slot):
+        msg_dma = pltpu.make_async_copy(
+            msgs_t_hbm.at[:, pl.ds(c * _C, _C)], msg_buf.at[slot], sems.at[slot, 0]
+        )
+        dst_dma = pltpu.make_async_copy(
+            dst_hbm.at[:, pl.ds(c * _C, _C)], dst_buf.at[slot], sems.at[slot, 1]
+        )
+        msg_dma.start()
+        dst_dma.start()
+        return msg_dma, dst_dma
+
+    def wait_dma(c, slot):
+        pltpu.make_async_copy(
+            msgs_t_hbm.at[:, pl.ds(c * _C, _C)], msg_buf.at[slot], sems.at[slot, 0]
+        ).wait()
+        pltpu.make_async_copy(
+            dst_hbm.at[:, pl.ds(c * _C, _C)], dst_buf.at[slot], sems.at[slot, 1]
+        ).wait()
+
+    @pl.when(c_lo < c_hi)
+    def _():
+        start_dma(c_lo, 0)
+
+    def body(c, _):
+        slot = jax.lax.rem(c - c_lo, 2)
+
+        @pl.when(c + 1 < c_hi)
+        def _():
+            start_dma(c + 1, jax.lax.rem(c + 1 - c_lo, 2))
+
+        wait_dma(c, slot)
+        onehot = (dst_buf[slot] == row_ids).astype(jnp.float32)  # [R, C]
+        # acc[R, D] += OH[R, C] . msgs[D, C]^T — contract on C, no transpose.
+        # precision=HIGHEST keeps full f32 (TPU default decomposes f32
+        # matmuls through bf16, which loses ~3 mantissa bits per message);
+        # the kernel is bandwidth-bound so the extra MXU passes are hidden.
+        out_ref[:] += jax.lax.dot_general(
+            onehot,
+            msg_buf[slot],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return ()
+
+    jax.lax.fori_loop(c_lo, c_hi, body, (), unroll=False)
+
+
+def _pallas_forward(msgs, dst, num_rows, interpret):
+    e, d = msgs.shape
+    d_pad = max(8, _cdiv(d, 8) * 8)
+    e_pad = _cdiv(e, _C) * _C
+    n_blocks = _cdiv(num_rows, _R)
+    n_pad = n_blocks * _R
+
+    msgs_t = msgs.astype(jnp.float32).T  # [D, E]
+    if d_pad != d or e_pad != e:
+        msgs_t = jnp.pad(msgs_t, ((0, d_pad - d), (0, e_pad - e)))
+    if e_pad != e:
+        dst = jnp.pad(dst, (0, e_pad - e), constant_values=num_rows)
+
+    row_starts = jnp.arange(n_blocks, dtype=dst.dtype) * _R
+    e_lo = jnp.searchsorted(dst, row_starts, side="left").astype(jnp.int32)
+    e_hi = jnp.searchsorted(dst, row_starts + _R, side="left").astype(jnp.int32)
+    chunk_bounds = jnp.stack([e_lo // _C, _cdiv(e_hi, _C)], axis=1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (_R, d_pad), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, d_pad, _C), jnp.float32),
+            pltpu.VMEM((2, 1, _C), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+
+    out = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, d_pad), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * _R * e_pad * d_pad,
+            bytes_accessed=e_pad * d_pad * 4 + e_pad * 4 + n_pad * d_pad * 4,
+            transcendentals=0,
+        ),
+    )(chunk_bounds, msgs_t, dst.reshape(1, -1).astype(jnp.int32))
+    return out[:num_rows, :d]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def sorted_segment_sum_pallas(msgs, dst, num_rows, interpret=False):
+    """Segment-sum `msgs[E, D]` by sorted destination ids `dst[E]` into
+    `[num_rows, D]`.  Padding edges must use `dst == num_rows` (their
+    messages must be zeroed by the caller, as graph.py's `w == 0` does)."""
+    return _pallas_forward(msgs, dst, num_rows, interpret)
+
+
+def _fwd(msgs, dst, num_rows, interpret):
+    return _pallas_forward(msgs, dst, num_rows, interpret), dst
+
+
+def _bwd(num_rows, interpret, dst, g):
+    # d/dmsgs of segment-sum is a row gather; padding edges get zero.
+    safe_dst = jnp.minimum(dst, num_rows - 1)
+    g_msgs = jnp.where((dst < num_rows)[:, None], g[safe_dst], 0.0)
+    return (g_msgs, None)
+
+
+sorted_segment_sum_pallas.defvjp(_fwd, _bwd)
+
+
+def _on_tpu():
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def segment_sum_auto(msgs, dst, num_rows, indices_are_sorted=True, use_pallas=None):
+    """Dispatch segment-sum: Pallas MXU kernel on TPU, XLA scatter elsewhere.
+
+    `use_pallas` forces the choice (used by bench.py to measure both paths).
+    """
+    if use_pallas is None:
+        # Measured on TPU v5e (tools/bench_segsum.py): the MXU kernel wins
+        # from ~100k edges (1.55x at 100k, 3.6x at 2M); below that XLA
+        # scatter's lower launch overhead wins.
+        use_pallas = (
+            _on_tpu()
+            and indices_are_sorted
+            and msgs.ndim == 2
+            and msgs.shape[0] >= 65536
+        )
+    if use_pallas:
+        return sorted_segment_sum_pallas(msgs, dst, num_rows)
+    return jax.ops.segment_sum(
+        msgs, dst, num_segments=num_rows, indices_are_sorted=indices_are_sorted
+    )
