@@ -51,6 +51,13 @@ class PEAConfig:
     def num_channels(self):
         return len(self.meta_path_steps)
 
+    @property
+    def emb_rows(self):
+        """Embedding-table rows padded to 128 so the table row-shards over
+        any mesh axis and tiles cleanly on TPU; rows >= num_nodes are never
+        gathered."""
+        return -(-self.num_nodes // 128) * 128
+
 
 def _channel_layer_dims(cfg: PEAConfig, num_steps: int):
     """Per-step (in, out, heads, concat) mirroring peagcn/peagat/peasage.py:14-21."""
@@ -71,7 +78,16 @@ _INITS = {"gcn": C.gcn_init, "gat": C.gat_init, "sage": C.sage_init}
 
 def pea_init(key, cfg: PEAConfig):
     kx, kc, ka, k1, k2 = jax.random.split(key, 5)
-    params = {"x": glorot(kx, (cfg.num_nodes, cfg.emb_dim))}
+    # glorot bound computed from the TRUE node count (base.py:156,183 does
+    # glorot over (num_nodes, emb_dim)); rows are padded for sharding only.
+    import math
+
+    bound = math.sqrt(6.0 / (cfg.num_nodes + cfg.emb_dim))
+    params = {
+        "x": jax.random.uniform(
+            kx, (cfg.emb_rows, cfg.emb_dim), minval=-bound, maxval=bound
+        )
+    }
 
     channels = []
     ckeys = jax.random.split(kc, cfg.num_channels)

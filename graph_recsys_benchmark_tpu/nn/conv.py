@@ -83,7 +83,9 @@ def gat_apply(
     use_pallas=None,
 ):
     n = g.num_nodes
-    h = _dot(x, params["w"]).reshape(n, heads, -1)  # [N, H, C]
+    # x may carry sharding-padded extra rows (models/pea.py emb_rows);
+    # reshape over its true row count, aggregate into n destination rows.
+    h = _dot(x, params["w"]).reshape(x.shape[0], heads, -1)  # [N_pad, H, C]
     att = params["att"][0]  # [H, 2C]
     c = att.shape[-1] // 2
     att_dst, att_src = att[:, :c], att[:, c:]  # x_i (target) first, then x_j
@@ -118,9 +120,11 @@ def sage_init(key, in_dim, out_dim):
 
 def sage_apply(params, x, g: StepGraph, use_pallas=None):
     # g.w = 1/indeg(dst) turns the segment-sum into PyG's mean aggregation.
+    # x may carry sharding-padded rows; node-aligned terms slice to num_nodes.
     msgs = g.w[:, None] * x[g.src]
     mean_agg = _aggregate(msgs, g, use_pallas)
-    return _dot(mean_agg, params["w_rel"]) + params["b_rel"] + _dot(x, params["w_root"])
+    root = _dot(x[: g.num_nodes], params["w_root"])
+    return _dot(mean_agg, params["w_rel"]) + params["b_rel"] + root
 
 
 # ---------------------------------------------------------------- NGCFConv
@@ -135,7 +139,7 @@ def ngcf_apply(params, x, g: StepGraph, negative_slope=0.2, use_pallas=None):
     x_j, x_i = x[g.src], x[g.dst]
     msgs = g.w[:, None] * (_dot(x_j, params["w1"]) + _dot(x_i * x_j, params["w2"]))
     aggr = _aggregate(msgs, g, use_pallas)
-    return jax.nn.leaky_relu(_dot(x, params["w1"]) + aggr, negative_slope)
+    return jax.nn.leaky_relu(_dot(x[: g.num_nodes], params["w1"]) + aggr, negative_slope)
 
 
 # ---------------------------------------------------------------- KGATConv
@@ -153,8 +157,9 @@ def kgat_init(key, in_dim, out_dim):
 def kgat_apply(params, x, g: StepGraph, att_map, negative_slope=0.2, use_pallas=None):
     """att_map: float[E_pad] per-edge attention (0 on padding)."""
     aggr = _aggregate(att_map[:, None] * x[g.src], g, use_pallas)
-    add_aggr = jax.nn.leaky_relu(_dot(x + aggr, params["w_add"]), negative_slope)
-    bi_aggr = jax.nn.leaky_relu(_dot(x * aggr, params["w_bi"]), negative_slope)
+    xn = x[: g.num_nodes]
+    add_aggr = jax.nn.leaky_relu(_dot(xn + aggr, params["w_add"]), negative_slope)
+    bi_aggr = jax.nn.leaky_relu(_dot(xn * aggr, params["w_bi"]), negative_slope)
     return add_aggr + bi_aggr + params["b"]
 
 
@@ -167,4 +172,4 @@ def kgcn_init(key, in_dim, out_dim):
 
 def kgcn_apply(params, x, g: StepGraph, att_map, use_pallas=None):
     aggr = _aggregate(att_map[:, None] * x[g.src], g, use_pallas)
-    return jax.nn.relu(_dot(aggr + x, params["w"]) + params["b"])
+    return jax.nn.relu(_dot(aggr + x[: g.num_nodes], params["w"]) + params["b"])

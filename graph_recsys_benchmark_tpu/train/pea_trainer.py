@@ -1,0 +1,67 @@
+"""PEA training: the shared scan-epoch engine specialized to PEAGCN/GAT/Sage.
+
+Epoch/eval recipe lives in engine.py (one jitted lax.scan per epoch, one
+jitted vectorized ranking eval); this module supplies the PEA pieces:
+metapath channel graphs, `pea_loss` (BPR + entity-aware regularizer,
+reference models/base.py:43-80) and the 2-layer-MLP pair scorer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+
+from ..data.hin import HINData
+from ..data.movielens import mlsmall_metapath_edges
+from ..graph import build_metapath_graphs
+from ..models import pea as pea_mod
+from ..models.pea import PEAConfig, pea_forward, pea_loss, pea_predict
+from .engine import GraphEpochEngine
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Reference defaults: experiments/pea*_solver_bpr.py:28-55."""
+
+    batch_size: int = 1024
+    lr: float = 1e-3
+    weight_decay: float = 1e-3
+    opt: str = "adam"
+    num_negative_samples: int = 4
+    num_neg_candidates: int = 99
+    sampling_strategy: str = "unseen"  # ml-small; 'random' for 25m/yelp
+    epochs: int = 30
+    runs: int = 5
+
+
+class PEATrainer(GraphEpochEngine):
+    def __init__(self, hin: HINData, cfg: PEAConfig, tcfg: TrainConfig, metapath_edges=None):
+        self.cfg = cfg
+        if metapath_edges is None:
+            metapath_edges = mlsmall_metapath_edges(hin)
+        assert len(metapath_edges) == cfg.num_channels
+        self.graphs = build_metapath_graphs(metapath_edges, hin.num_nodes, cfg.conv)
+
+        def init_params(key):
+            return pea_mod.pea_init(key, cfg)
+
+        def batch_loss(params, batch, row_mask, key):
+            return pea_loss(
+                params, self.graphs, cfg, batch, row_mask=row_mask,
+                training=True, dropout_key=key if cfg.dropout > 0 else None,
+            )
+
+        def eval_forward(params, channel_mask):
+            return pea_forward(params, self.graphs, cfg, channel_mask=channel_mask)
+
+        super().__init__(
+            hin, tcfg,
+            init_params=init_params,
+            batch_loss=batch_loss,
+            eval_forward=eval_forward,
+            predict=lambda params, cached, u, i: pea_predict(params, cached, u, i),
+            entity_aware=cfg.entity_aware,
+            num_channels=cfg.num_channels,
+            loss_mode="bpr",
+        )

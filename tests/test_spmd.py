@@ -1,0 +1,98 @@
+"""SPMD tests on the virtual 8-device CPU mesh (conftest forces it)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graph_recsys_benchmark_tpu.parallel import make_mesh, make_sharded_train_step, param_shardings
+from graph_recsys_benchmark_tpu.train.optim import make_optimizer
+
+
+def _tiny():
+    from graph_recsys_benchmark_tpu.data import build_mlsmall_hin, synthetic_mlsmall_raw
+    from graph_recsys_benchmark_tpu.data.movielens import mlsmall_metapath_edges
+    from graph_recsys_benchmark_tpu.graph import build_metapath_graphs
+    from graph_recsys_benchmark_tpu.models.pea import PEAConfig, pea_init
+
+    movies, ratings, tagging = synthetic_mlsmall_raw(
+        seed=1, num_users=40, num_items=30, min_ratings_per_user=5, max_ratings_per_user=10
+    )
+    hin = build_mlsmall_hin(movies, ratings, tagging, num_core=2, num_feat_core=1)
+    cfg = PEAConfig(
+        conv="gcn", num_nodes=hin.num_nodes, meta_path_steps=(2,) * 9,
+        emb_dim=16, hidden_size=16, repr_dim=8,
+    )
+    graphs = build_metapath_graphs(mlsmall_metapath_edges(hin), hin.num_nodes, "gcn")
+    params = pea_init(jax.random.PRNGKey(0), cfg)
+    return hin, cfg, graphs, params
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) >= 8
+
+
+def test_sharded_step_matches_single_device():
+    hin, cfg, graphs, params = _tiny()
+    optimizer = make_optimizer("adam", 1e-3, 1e-3)
+    opt_state = optimizer.init(params)
+
+    bs = 32
+    rng = np.random.default_rng(0)
+    u = hin.train_pos[rng.integers(0, len(hin.train_pos), bs), 0]
+    i = hin.train_pos[rng.integers(0, len(hin.train_pos), bs), 1]
+    n = hin.item_acc + rng.integers(0, hin.num_items, bs)
+    batch = jnp.asarray(np.stack([u, i, n], axis=1), dtype=jnp.int32)
+    mask = jnp.ones(bs, dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    # single-device reference
+    from graph_recsys_benchmark_tpu.models.pea import pea_loss
+    import optax
+
+    def ref_step(p, o):
+        loss, grads = jax.value_and_grad(
+            lambda pp: pea_loss(pp, graphs, cfg, batch, row_mask=mask, training=True)
+        )(p)
+        ups, o = optimizer.update(grads, o, p)
+        return optax.apply_updates(p, ups), o, loss
+
+    p1, o1, loss1 = jax.jit(ref_step)(params, opt_state)
+
+    # 4x2 mesh: dp-sharded batch, row-sharded embedding
+    mesh = make_mesh(dp=4, mp=2)
+    _, placement, jitted = make_sharded_train_step(cfg, graphs, optimizer, mesh)
+    sp, so, p_shard, o_shard = placement(params, opt_state)
+    step_fn = jitted(sp, so, p_shard, o_shard)
+    p2, o2, loss2 = step_fn(sp, so, batch, mask, key)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(p1["x"]), np.asarray(p2["x"]), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(p1["fc1"]["w"]), np.asarray(p2["fc1"]["w"]), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_param_shardings_row_shards_embedding():
+    _, cfg, graphs, params = _tiny()
+    mesh = make_mesh(dp=4, mp=2)
+    sh = param_shardings(params, mesh)
+    assert "mp" in str(sh["x"].spec)
+    assert sh["fc1"]["w"].spec == jax.sharding.PartitionSpec()
+
+
+def test_graft_entry_dryrun():
+    import importlib.util, os
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__graft_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    loss = jax.jit(fn)(*args)
+    assert np.isfinite(float(loss))
+    mod.dryrun_multichip(8)
