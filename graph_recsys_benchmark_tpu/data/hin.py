@@ -55,6 +55,28 @@ class CandidateTables:
 
 
 @dataclasses.dataclass
+class RejectionCandidates:
+    """Large-scale alternative to CandidateTables: store each user's SEEN
+    items (test item in column 0, then the train history) and sample unseen
+    items by rejection — exact-uniform over the complement, with seen lists
+    bounded (e.g. ML-25M's user-count band < 30*num_core,
+    movielens.py:690-695) while the complement is the whole catalog.
+    """
+
+    test_users: np.ndarray  # int32[U]
+    seen: np.ndarray  # int32[U, 1+K]; col 0 = test item nid
+    seen_counts: np.ndarray  # int32[U] — valid entries incl. col 0
+
+    @property
+    def num_users(self):
+        return self.test_users.shape[0]
+
+    @property
+    def test_items(self):
+        return self.seen[:, 0]
+
+
+@dataclasses.dataclass
 class EntityFeatureTables:
     item_feat: np.ndarray  # int32[num_items, Kf] entity nids
     item_feat_counts: np.ndarray  # int32[num_items]
@@ -77,7 +99,7 @@ class HINData:
     edge_type_dict: Dict[str, int]
     train_pos: np.ndarray  # int64[Ei, 2] (u_nid, i_nid) training interactions
     ratings: np.ndarray  # float32[Ei] aligned with train_pos
-    candidates: CandidateTables
+    candidates: "CandidateTables | RejectionCandidates"
     entity_feats: EntityFeatureTables | None = None
 
     @property

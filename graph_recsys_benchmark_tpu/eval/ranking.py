@@ -2,31 +2,19 @@
 
 Replaces the reference's per-user python loop (solvers.py:33-104 +
 generate_candidates:21-31) with one jitted pass: negatives are sampled for
-every test user at once from a padded per-user candidate table, all
-candidate scores are computed in one batched predict, and HR/NDCG/AUC come
-from the closed-form rank (eval/metrics.py).
+every test user at once (train/sampling.py — dense gather or exact
+complement sampling), all candidate scores come from one batched predict,
+and HR/NDCG/AUC come from the closed-form rank (eval/metrics.py).
 
 Sampling parity: the reference draws 99 negatives per user per evaluation
 with replacement from that user's unseen-item list (np.random.choice,
-solvers.py:29).  We draw uniform ints below the per-user candidate count
-into the padded table — the same distribution.
+solvers.py:29) — both table modes draw from exactly that distribution.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-
-
-def sample_eval_negatives(key, cand_table, cand_counts, num_candidates=99):
-    """cand_table: int32[U, M] padded per-user unseen items; counts: int32[U].
-
-    Returns int32[U, num_candidates] sampled with replacement."""
-    u = cand_table.shape[0]
-    r = jax.random.uniform(key, (u, num_candidates))
-    idx = jnp.floor(r * cand_counts[:, None].astype(jnp.float32)).astype(jnp.int32)
-    idx = jnp.minimum(idx, jnp.maximum(cand_counts[:, None] - 1, 0))
-    return jnp.take_along_axis(cand_table, idx, axis=1)
 
 
 def rank_candidates(score_fn, test_users, test_pos, neg_items):
@@ -39,26 +27,20 @@ def rank_candidates(score_fn, test_users, test_pos, neg_items):
     return pos_scores, neg_scores
 
 
-def evaluate_ranking(
-    key,
-    score_fn,
-    test_users,
-    test_pos,
-    cand_table,
-    cand_counts,
-    num_candidates=99,
-    user_mask=None,
-):
+def evaluate_ranking(key, score_fn, tables, num_candidates=99, user_mask=None):
     """Full eval pass -> dict of mean metrics in the reference layout.
 
-    user_mask: float[U] — 0 for padding users (tables padded to static size).
+    tables: train.sampling.DeviceTables.
     eval_loss matches solvers.py:63-72: per user the BPR sum over the
     (pos, neg_j) pairs, then the mean over users.
     """
+    from ..train.sampling import sample_eval_negatives
     from .metrics import hit_vec_metrics
 
-    neg_items = sample_eval_negatives(key, cand_table, cand_counts, num_candidates)
-    pos_scores, neg_scores = rank_candidates(score_fn, test_users, test_pos, neg_items)
+    neg_items = sample_eval_negatives(key, tables, num_candidates)
+    pos_scores, neg_scores = rank_candidates(
+        score_fn, tables.test_users, tables.test_items, neg_items
+    )
     hr, ndcg, auc, ranks = hit_vec_metrics(pos_scores, neg_scores)
 
     if user_mask is None:

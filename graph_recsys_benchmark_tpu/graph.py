@@ -50,17 +50,25 @@ class StepGraph:
     src/dst: int32[E_pad], sorted by dst; padding has dst == num_nodes, src=0.
     w:       float32[E_pad] per-edge coefficient; 0 on padding edges.
     rel:     int32[E_pad] signed relation ids (0 when unused).
+    src_perm/src_sorted: the stable sort of `src` — lets the backward of
+             per-edge gathers run as a SORTED segment-sum (ops/gather.py)
+             instead of XLA's unsorted scatter-add.
     """
 
     src: jnp.ndarray
     dst: jnp.ndarray
     w: jnp.ndarray
     rel: jnp.ndarray
+    src_perm: jnp.ndarray
+    src_sorted: jnp.ndarray
     num_nodes: int
     num_edges: int  # valid (non-padding) edges
 
     def tree_flatten(self):
-        return (self.src, self.dst, self.w, self.rel), (self.num_nodes, self.num_edges)
+        return (
+            (self.src, self.dst, self.w, self.rel, self.src_perm, self.src_sorted),
+            (self.num_nodes, self.num_edges),
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -70,7 +78,9 @@ class StepGraph:
 def _sort_pad(src, dst, w, rel, num_nodes, pad_to=PAD_TO):
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
-    order = np.lexsort((src, dst))
+    from .native import sort_edges_by_dst  # O(E+N) native counting sort
+
+    order = sort_edges_by_dst(src, dst, num_nodes)
     src, dst, w, rel = src[order], dst[order], w[order], rel[order]
     e = src.shape[0]
     e_pad = max(pad_to, -(-e // pad_to) * pad_to)
@@ -79,11 +89,14 @@ def _sort_pad(src, dst, w, rel, num_nodes, pad_to=PAD_TO):
     dst = np.concatenate([dst, np.full(pad, num_nodes, dtype=np.int64)])
     w = np.concatenate([w, np.zeros(pad, dtype=np.float32)])
     rel = np.concatenate([rel, np.zeros(pad, dtype=np.int64)])
+    src_perm = np.argsort(src, kind="stable")
     return StepGraph(
         src=jnp.asarray(src, dtype=jnp.int32),
         dst=jnp.asarray(dst, dtype=jnp.int32),
         w=jnp.asarray(w.astype(np.float32)),
         rel=jnp.asarray(rel, dtype=jnp.int32),
+        src_perm=jnp.asarray(src_perm, dtype=jnp.int32),
+        src_sorted=jnp.asarray(src[src_perm], dtype=jnp.int32),
         num_nodes=int(num_nodes),
         num_edges=int(e),
     )
@@ -191,3 +204,46 @@ def build_metapath_graphs(
     for steps in metapath_steps:
         out.append(tuple(build(s, d, num_nodes, pad_to) for (s, d) in steps))
     return tuple(out)
+
+
+def fuse_step_graphs(step_graphs, num_nodes, pad_to=PAD_TO) -> StepGraph:
+    """Union the same-position step of every metapath channel into ONE graph
+    over a virtual node space of C*num_nodes (channel c's node n maps to
+    c*num_nodes + n).
+
+    One segment-sum over the union then computes all C channels' aggregation
+    at once — C large kernels per PEA forward instead of C*steps small ones,
+    which is what the TPU wants (fewer, bigger launches; better MXU/DMA
+    utilization in the Pallas kernel).
+    """
+    srcs, dsts, ws, rels = [], [], [], []
+    for c, g in enumerate(step_graphs):
+        e = g.num_edges
+        srcs.append(np.asarray(g.src)[:e].astype(np.int64) + c * num_nodes)
+        dsts.append(np.asarray(g.dst)[:e].astype(np.int64) + c * num_nodes)
+        ws.append(np.asarray(g.w)[:e])
+        rels.append(np.asarray(g.rel)[:e].astype(np.int64))
+    return _sort_pad(
+        np.concatenate(srcs),
+        np.concatenate(dsts),
+        np.concatenate(ws).astype(np.float32),
+        np.concatenate(rels),
+        num_nodes * len(step_graphs),
+        pad_to,
+    )
+
+
+def build_fused_metapath_graphs(
+    metapath_steps, num_nodes, conv: str, pad_to=PAD_TO
+) -> Tuple[StepGraph, ...]:
+    """Fused variant of build_metapath_graphs: requires every metapath to
+    have the same number of steps (true for all reference configs — 2 steps
+    per metapath, experiments/pea*_solver_bpr.py:33).  Returns one fused
+    StepGraph per step position."""
+    per_channel = build_metapath_graphs(metapath_steps, num_nodes, conv, pad_to)
+    n_steps = {len(ch) for ch in per_channel}
+    assert len(n_steps) == 1, "fused path needs uniform meta_path_steps"
+    return tuple(
+        fuse_step_graphs([ch[k] for ch in per_channel], num_nodes, pad_to)
+        for k in range(n_steps.pop())
+    )

@@ -46,6 +46,7 @@ class PEAConfig:
     dropout: float = 0.0
     entity_aware: bool = False
     entity_aware_coff: float = 0.1
+    fused: bool = True  # fuse all channels into union-graph kernels (TPU win)
 
     @property
     def num_channels(self):
@@ -136,24 +137,131 @@ def _channel_forward(cfg, layers, x, steps, dims, dropout_keys, training):
     return h
 
 
+def _stacked_step_params(params, step_idx):
+    """Stack every channel's step-k conv params along a leading C axis."""
+    per_channel = [ch[step_idx] for ch in params["channels"]]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_channel)
+
+
+def _fused_gcn_step(sp, h, g, num_channels, num_nodes):
+    """h: [N, din] (shared input) or [C, N, din] -> [C, N, dout]."""
+    if h.ndim == 2:
+        z = jnp.einsum("nd,cde->cne", h[:num_nodes], sp["w"])
+    else:
+        z = jnp.einsum("cnd,cde->cne", h, sp["w"])
+    z = z.reshape(num_channels * num_nodes, -1)
+    from ..ops.gather import gather_src
+
+    msgs = g.w[:, None] * gather_src(z, g)
+    out = C._aggregate(msgs, g)
+    return out.reshape(num_channels, num_nodes, -1) + sp["b"][:, None, :]
+
+
+def _fused_sage_step(sp, h, g, num_channels, num_nodes):
+    if h.ndim == 2:
+        hc = jnp.broadcast_to(h[None, :num_nodes], (num_channels,) + h[:num_nodes].shape)
+    else:
+        hc = h
+    from ..ops.gather import gather_src
+
+    flat = hc.reshape(num_channels * num_nodes, -1)
+    mean_agg = C._aggregate(g.w[:, None] * gather_src(flat, g), g)
+    mean_agg = mean_agg.reshape(num_channels, num_nodes, -1)
+    out = jnp.einsum("cnd,cde->cne", mean_agg, sp["w_rel"]) + sp["b_rel"][:, None, :]
+    return out + jnp.einsum("cnd,cde->cne", hc, sp["w_root"])
+
+
+def _fused_gat_step(sp, h, g, num_channels, num_nodes, heads, concat,
+                    dropout, dropout_key):
+    from ..ops.gather import gather_dst, gather_src
+    from ..ops.pallas_segment import segment_softmax_auto
+
+    if h.ndim == 2:
+        z = jnp.einsum("nd,cde->cne", h[:num_nodes], sp["w"])
+    else:
+        z = jnp.einsum("cnd,cde->cne", h, sp["w"])
+    c_dim = z.shape[-1] // heads
+    z = z.reshape(num_channels, num_nodes, heads, c_dim)
+    att = sp["att"][:, 0]  # [C, H, 2c]
+    att_dst, att_src = att[..., :c_dim], att[..., c_dim:]
+    a_dst = jnp.sum(z * att_dst[:, None], axis=-1).reshape(num_channels * num_nodes, heads)
+    a_src = jnp.sum(z * att_src[:, None], axis=-1).reshape(num_channels * num_nodes, heads)
+    n_virtual = num_channels * num_nodes
+    alpha = jax.nn.leaky_relu(gather_dst(a_dst, g) + gather_src(a_src, g), 0.2)
+    alpha = segment_softmax_auto(alpha, g.dst, n_virtual)
+    if dropout > 0.0 and dropout_key is not None:
+        keep = jax.random.bernoulli(dropout_key, 1.0 - dropout, alpha.shape)
+        alpha = jnp.where(keep, alpha / (1.0 - dropout), 0.0)
+    z_flat = z.reshape(n_virtual, heads, c_dim)
+    out = C._aggregate(gather_src(z_flat, g) * alpha[:, :, None], g)
+    out = out.reshape(num_channels, num_nodes, heads, c_dim)
+    if concat:
+        out = out.reshape(num_channels, num_nodes, heads * c_dim)
+    else:
+        out = out.mean(axis=2)
+    return out + sp["b"][:, None, :]
+
+
+def pea_forward_fused(
+    params,
+    fused_graphs,  # tuple[step] of fused StepGraph (graph.fuse_step_graphs)
+    cfg: PEAConfig,
+    training: bool = False,
+    dropout_key=None,
+):
+    """All channels advance together: per step, ONE batched einsum + ONE
+    union-graph segment reduction instead of num_channels small convs.
+    Bitwise math per channel is identical to the per-channel path (tested),
+    so checkpoints/configs are interchangeable."""
+    n = cfg.num_nodes
+    num_steps = cfg.meta_path_steps[0]
+    dims = _channel_layer_dims(cfg, num_steps)
+    h = params["x"]
+    for i in range(num_steps):
+        sp = _stacked_step_params(params, i)
+        g = fused_graphs[i]
+        _, _, heads, _ = dims[i]
+        if cfg.conv == "gcn":
+            h = _fused_gcn_step(sp, h, g, cfg.num_channels, n)
+        elif cfg.conv == "sage":
+            h = _fused_sage_step(sp, h, g, cfg.num_channels, n)
+        elif cfg.conv == "gat":
+            dk = None
+            if training and cfg.dropout > 0.0 and dropout_key is not None:
+                dk = jax.random.fold_in(dropout_key, i)
+            h = _fused_gat_step(
+                sp, h, g, cfg.num_channels, n, heads, True,
+                cfg.dropout if training else 0.0, dk,
+            )
+        else:
+            raise ValueError(cfg.conv)
+        if i < num_steps - 1:
+            h = jax.nn.relu(h)
+    return jnp.transpose(h, (1, 0, 2))  # [N, C, R]
+
+
 def pea_forward(
     params,
-    graphs,  # tuple[channel] of tuple[step] of StepGraph
+    graphs,  # tuple[channel] of tuple[step] of StepGraph, OR fused tuple[step]
     cfg: PEAConfig,
     channel_mask: Optional[jnp.ndarray] = None,  # float[num_channels]; 0 ablates
     training: bool = False,
     dropout_key=None,
 ):
     """Full-graph forward -> cached representation [num_nodes, repr-like]."""
-    x = params["x"]
-    outs = []
-    for c, (layers, steps) in enumerate(zip(params["channels"], graphs)):
-        dims = _channel_layer_dims(cfg, cfg.meta_path_steps[c])
-        dkeys = None
-        if dropout_key is not None:
-            dkeys = jax.random.split(jax.random.fold_in(dropout_key, c), len(layers))
-        outs.append(_channel_forward(cfg, layers, x, steps, dims, dkeys, training))
-    h = jnp.stack(outs, axis=1)  # [N, C, R]
+    fused = len(graphs) > 0 and isinstance(graphs[0], StepGraph)
+    if fused:
+        h = pea_forward_fused(params, graphs, cfg, training=training, dropout_key=dropout_key)
+    else:
+        x = params["x"]
+        outs = []
+        for c, (layers, steps) in enumerate(zip(params["channels"], graphs)):
+            dims = _channel_layer_dims(cfg, cfg.meta_path_steps[c])
+            dkeys = None
+            if dropout_key is not None:
+                dkeys = jax.random.split(jax.random.fold_in(dropout_key, c), len(layers))
+            outs.append(_channel_forward(cfg, layers, x, steps, dims, dkeys, training))
+        h = jnp.stack(outs, axis=1)  # [N, C, R]
     if channel_mask is not None:
         h = h * channel_mask[None, :, None]
 

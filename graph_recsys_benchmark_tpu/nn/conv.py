@@ -23,8 +23,8 @@ import jax
 import jax.numpy as jnp
 
 from ..graph import StepGraph
-from ..ops import segment_softmax, segment_sum
-from ..ops.pallas_segment import segment_sum_auto
+from ..ops.gather import gather_dst, gather_src
+from ..ops.pallas_segment import segment_softmax_auto, segment_sum_auto
 from .init import glorot, torch_linear_bias, torch_linear_weight, zeros_init
 
 
@@ -54,7 +54,7 @@ def gcn_init(key, in_dim, out_dim):
 
 def gcn_apply(params, x, g: StepGraph, use_pallas=None):
     h = _dot(x, params["w"])
-    msgs = g.w[:, None] * h[g.src]
+    msgs = g.w[:, None] * gather_src(h, g)
     return _aggregate(msgs, g, use_pallas) + params["b"]
 
 
@@ -91,13 +91,13 @@ def gat_apply(
     att_dst, att_src = att[:, :c], att[:, c:]  # x_i (target) first, then x_j
     alpha_dst = jnp.sum(h * att_dst[None], axis=-1)  # [N, H]
     alpha_src = jnp.sum(h * att_src[None], axis=-1)
-    alpha = alpha_dst[g.dst] + alpha_src[g.src]  # [E, H]
+    alpha = gather_dst(alpha_dst, g) + gather_src(alpha_src, g)  # [E, H]
     alpha = jax.nn.leaky_relu(alpha, negative_slope)
-    alpha = segment_softmax(alpha, g.dst, n)
+    alpha = segment_softmax_auto(alpha, g.dst, n)
     if dropout > 0.0 and dropout_key is not None:
         keep = jax.random.bernoulli(dropout_key, 1.0 - dropout, alpha.shape)
         alpha = jnp.where(keep, alpha / (1.0 - dropout), 0.0)
-    msgs = h[g.src] * alpha[:, :, None]  # [E, H, C]
+    msgs = gather_src(h, g) * alpha[:, :, None]  # [E, H, C]
     out = _aggregate(msgs, g, use_pallas)  # [N, H, C]
     if concat:
         out = out.reshape(n, heads * c)
@@ -121,7 +121,7 @@ def sage_init(key, in_dim, out_dim):
 def sage_apply(params, x, g: StepGraph, use_pallas=None):
     # g.w = 1/indeg(dst) turns the segment-sum into PyG's mean aggregation.
     # x may carry sharding-padded rows; node-aligned terms slice to num_nodes.
-    msgs = g.w[:, None] * x[g.src]
+    msgs = g.w[:, None] * gather_src(x, g)
     mean_agg = _aggregate(msgs, g, use_pallas)
     root = _dot(x[: g.num_nodes], params["w_root"])
     return _dot(mean_agg, params["w_rel"]) + params["b_rel"] + root
@@ -136,7 +136,7 @@ def ngcf_init(key, in_dim, out_dim):
 
 
 def ngcf_apply(params, x, g: StepGraph, negative_slope=0.2, use_pallas=None):
-    x_j, x_i = x[g.src], x[g.dst]
+    x_j, x_i = gather_src(x, g), gather_dst(x, g)
     msgs = g.w[:, None] * (_dot(x_j, params["w1"]) + _dot(x_i * x_j, params["w2"]))
     aggr = _aggregate(msgs, g, use_pallas)
     return jax.nn.leaky_relu(_dot(x[: g.num_nodes], params["w1"]) + aggr, negative_slope)
@@ -156,7 +156,7 @@ def kgat_init(key, in_dim, out_dim):
 
 def kgat_apply(params, x, g: StepGraph, att_map, negative_slope=0.2, use_pallas=None):
     """att_map: float[E_pad] per-edge attention (0 on padding)."""
-    aggr = _aggregate(att_map[:, None] * x[g.src], g, use_pallas)
+    aggr = _aggregate(att_map[:, None] * gather_src(x, g), g, use_pallas)
     xn = x[: g.num_nodes]
     add_aggr = jax.nn.leaky_relu(_dot(xn + aggr, params["w_add"]), negative_slope)
     bi_aggr = jax.nn.leaky_relu(_dot(xn * aggr, params["w_bi"]), negative_slope)
@@ -171,5 +171,5 @@ def kgcn_init(key, in_dim, out_dim):
 
 
 def kgcn_apply(params, x, g: StepGraph, att_map, use_pallas=None):
-    aggr = _aggregate(att_map[:, None] * x[g.src], g, use_pallas)
+    aggr = _aggregate(att_map[:, None] * gather_src(x, g), g, use_pallas)
     return jax.nn.relu(_dot(aggr + x[: g.num_nodes], params["w"]) + params["b"])

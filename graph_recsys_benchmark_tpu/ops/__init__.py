@@ -4,7 +4,13 @@ from .segment import (
     segment_mean,
     segment_softmax,
 )
-from .pallas_segment import sorted_segment_sum_pallas, segment_sum_auto
+from .pallas_segment import (
+    sorted_segment_sum_pallas,
+    segment_sum_auto,
+    segment_softmax_pallas,
+    segment_softmax_auto,
+)
+from .gather import gather_rows, gather_src, gather_dst
 
 __all__ = [
     "segment_sum",
@@ -13,4 +19,9 @@ __all__ = [
     "segment_softmax",
     "sorted_segment_sum_pallas",
     "segment_sum_auto",
+    "segment_softmax_pallas",
+    "segment_softmax_auto",
+    "gather_rows",
+    "gather_src",
+    "gather_dst",
 ]

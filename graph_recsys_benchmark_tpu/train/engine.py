@@ -196,7 +196,6 @@ class GraphEpochEngine:
     def _evaluate(self, params, key, channel_mask):
         from ..eval.ranking import evaluate_ranking
 
-        tables = self.tables
         cached = self._eval_forward(params, channel_mask)
 
         if self.mf_offsets is None:
@@ -209,13 +208,7 @@ class GraphEpochEngine:
                 return self._predict(params, cached, u - u_lo, i - i_lo)
 
         return evaluate_ranking(
-            key,
-            score,
-            tables.test_users,
-            tables.cand[:, 0],
-            tables.cand[:, 1:],
-            tables.neg_counts,
-            num_candidates=self.tcfg.num_neg_candidates,
+            key, score, self.tables, num_candidates=self.tcfg.num_neg_candidates
         )
 
     def evaluate(self, params, key, metapath_idx: Optional[int] = None):

@@ -14,7 +14,7 @@ import jax
 
 from ..data.hin import HINData
 from ..data.movielens import mlsmall_metapath_edges
-from ..graph import build_metapath_graphs
+from ..graph import build_fused_metapath_graphs, build_metapath_graphs
 from ..models import pea as pea_mod
 from ..models.pea import PEAConfig, pea_forward, pea_loss, pea_predict
 from .engine import GraphEpochEngine
@@ -41,7 +41,11 @@ class PEATrainer(GraphEpochEngine):
         if metapath_edges is None:
             metapath_edges = mlsmall_metapath_edges(hin)
         assert len(metapath_edges) == cfg.num_channels
-        self.graphs = build_metapath_graphs(metapath_edges, hin.num_nodes, cfg.conv)
+        uniform = len(set(cfg.meta_path_steps)) == 1
+        if cfg.fused and uniform:
+            self.graphs = build_fused_metapath_graphs(metapath_edges, hin.num_nodes, cfg.conv)
+        else:
+            self.graphs = build_metapath_graphs(metapath_edges, hin.num_nodes, cfg.conv)
 
         def init_params(key):
             return pea_mod.pea_init(key, cfg)

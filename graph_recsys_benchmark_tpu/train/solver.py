@@ -143,7 +143,7 @@ class Solver:
         if overall:
             self.logger.write(
                 "Overall HR@10: {:.4f}, NDCG@10: {:.4f}, AUC: {:.4f} ({:.1f}s total)".format(
-                    overall["HR"][5], overall["NDCG"][5], float(overall["AUC"]),
+                    overall["HR"][5], overall["NDCG"][5], float(np.ravel(overall["AUC"])[0]),
                     time.perf_counter() - t_all,
                 )
             )
