@@ -176,6 +176,10 @@ def _bwd(num_rows, interpret, dst, g):
 sorted_segment_sum_pallas.defvjp(_fwd, _bwd)
 
 
+_CS = 2048  # stats-kernel edge chunk: alpha is [1, C] so bigger chunks
+            # amortize DMA latency (8KB vs 2KB per transfer)
+
+
 def _softmax_stats_kernel(chunk_bounds_ref, alpha_hbm, dst_hbm, max_ref, sum_ref,
                           a_buf, dst_buf, sems):
     """Online softmax statistics per destination row: running max + rescaled
@@ -188,22 +192,22 @@ def _softmax_stats_kernel(chunk_bounds_ref, alpha_hbm, dst_hbm, max_ref, sum_ref
     max_ref[:] = jnp.full_like(max_ref, -jnp.inf)
     sum_ref[:] = jnp.zeros_like(sum_ref)
 
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (_R, _C), dimension=0) + row0
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (_R, _CS), dimension=0) + row0
 
     def start_dma(c, slot):
         pltpu.make_async_copy(
-            alpha_hbm.at[:, pl.ds(c * _C, _C)], a_buf.at[slot], sems.at[slot, 0]
+            alpha_hbm.at[:, pl.ds(c * _CS, _CS)], a_buf.at[slot], sems.at[slot, 0]
         ).start()
         pltpu.make_async_copy(
-            dst_hbm.at[:, pl.ds(c * _C, _C)], dst_buf.at[slot], sems.at[slot, 1]
+            dst_hbm.at[:, pl.ds(c * _CS, _CS)], dst_buf.at[slot], sems.at[slot, 1]
         ).start()
 
     def wait_dma(c, slot):
         pltpu.make_async_copy(
-            alpha_hbm.at[:, pl.ds(c * _C, _C)], a_buf.at[slot], sems.at[slot, 0]
+            alpha_hbm.at[:, pl.ds(c * _CS, _CS)], a_buf.at[slot], sems.at[slot, 0]
         ).wait()
         pltpu.make_async_copy(
-            dst_hbm.at[:, pl.ds(c * _C, _C)], dst_buf.at[slot], sems.at[slot, 1]
+            dst_hbm.at[:, pl.ds(c * _CS, _CS)], dst_buf.at[slot], sems.at[slot, 1]
         ).wait()
 
     @pl.when(c_lo < c_hi)
@@ -238,7 +242,7 @@ def _softmax_stats_kernel(chunk_bounds_ref, alpha_hbm, dst_hbm, max_ref, sum_ref
 def _softmax_stats(alpha, dst, num_rows, interpret=False):
     """alpha: f32[E] (sorted by dst) -> (seg_max[num_rows], seg_sumexp[num_rows])."""
     e = alpha.shape[0]
-    e_pad = _cdiv(e, _C) * _C
+    e_pad = _cdiv(e, _CS) * _CS
     n_blocks = _cdiv(num_rows, _R)
     n_pad = n_blocks * _R
     if e_pad != e:
@@ -248,7 +252,7 @@ def _softmax_stats(alpha, dst, num_rows, interpret=False):
     row_starts = jnp.arange(n_blocks, dtype=dst.dtype) * _R
     e_lo = jnp.searchsorted(dst, row_starts, side="left").astype(jnp.int32)
     e_hi = jnp.searchsorted(dst, row_starts + _R, side="left").astype(jnp.int32)
-    chunk_bounds = jnp.stack([e_lo // _C, _cdiv(e_hi, _C)], axis=1)
+    chunk_bounds = jnp.stack([e_lo // _CS, _cdiv(e_hi, _CS)], axis=1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -262,8 +266,8 @@ def _softmax_stats(alpha, dst, num_rows, interpret=False):
             pl.BlockSpec((_R, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 1, _C), jnp.float32),
-            pltpu.VMEM((2, 1, _C), jnp.int32),
+            pltpu.VMEM((2, 1, _CS), jnp.float32),
+            pltpu.VMEM((2, 1, _CS), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
@@ -321,10 +325,11 @@ segment_softmax_pallas.defvjp(_softmax_fwd, _softmax_bwd)
 def segment_softmax_auto(alpha, dst, num_rows, indices_are_sorted=True, use_pallas=None):
     """Dispatch per-head segment softmax: Pallas fused kernel on TPU for
     large edge lists, XLA scatter path elsewhere.  alpha: [E] or [E, H]."""
-    if use_pallas is None:
-        use_pallas = (
-            _on_tpu() and indices_are_sorted and alpha.shape[0] >= 65536
-        )
+    from . import config as _cfg
+
+    use_pallas = _cfg.resolve(
+        use_pallas, _on_tpu() and indices_are_sorted and alpha.shape[0] >= 65536
+    ) and indices_are_sorted
     if not use_pallas:
         from .segment import segment_softmax
 
@@ -350,16 +355,18 @@ def segment_sum_auto(msgs, dst, num_rows, indices_are_sorted=True, use_pallas=No
 
     `use_pallas` forces the choice (used by bench.py to measure both paths).
     """
-    if use_pallas is None:
-        # Measured on TPU v5e (tools/bench_segsum.py): the MXU kernel wins
-        # from ~100k edges (1.55x at 100k, 3.6x at 2M); below that XLA
-        # scatter's lower launch overhead wins.
-        use_pallas = (
-            _on_tpu()
-            and indices_are_sorted
-            and msgs.ndim == 2
-            and msgs.shape[0] >= 65536
-        )
+    from . import config as _cfg
+
+    # Measured on TPU v5e (tools/bench_segsum.py): the MXU kernel wins
+    # from ~100k edges (1.55x at 100k, 3.6x at 2M); below that XLA
+    # scatter's lower launch overhead wins.
+    use_pallas = _cfg.resolve(
+        use_pallas,
+        _on_tpu()
+        and indices_are_sorted
+        and msgs.ndim == 2
+        and msgs.shape[0] >= 65536,
+    ) and (indices_are_sorted and msgs.ndim == 2)
     if use_pallas:
         return sorted_segment_sum_pallas(msgs, dst, num_rows)
     return jax.ops.segment_sum(

@@ -130,6 +130,7 @@ class KGTrainer(GraphEpochEngine):
         self.kg_batches = -(-self.kg_rows // tcfg.batch_size)
 
     def _cf_batch_loss(self, params, batch, row_mask, key):
+        # used only for standalone calls; the epoch scan passes a frozen att
         att = M_kg.compute_att_map(params, self.graph, self.cfg)
         return M_kg.kg_cf_loss(
             params, self.graph, self.cfg, att, batch, row_mask,
@@ -141,14 +142,9 @@ class KGTrainer(GraphEpochEngine):
         return M_kg.kg_forward(params, self.graph, self.cfg, att)
 
     def _epoch(self, params, opt_state, key):
-        """Phase A: KG TransR scan. Phase B: CF BPR scan with frozen att.
-
-        The reference recomputes the attention once between phases
-        (kgat_solver_bpr.py:311-320); we freeze it for the whole CF phase by
-        stop_gradient inside compute_att_map and recompute per batch — the
-        values drift slightly as x updates, which only *tightens* attention
-        freshness vs the reference's once-per-epoch snapshot.
-        """
+        """Phase A: KG TransR scan; ONE attention-map recompute; Phase B: CF
+        BPR scan with the frozen map — exactly the reference's epoch shape
+        (kgat_solver_bpr.py:284-348)."""
         bs = self.tcfg.batch_size
         kkg, kcf = jax.random.split(key)
 
@@ -178,7 +174,38 @@ class KGTrainer(GraphEpochEngine):
             ),
         )
 
-        # ---- phase B: CF (engine's standard scan via super)
-        params, opt_state, cf_loss = super()._epoch(params, opt_state, kcf)
+        # ---- attention snapshot (kgat_solver_bpr.py:311-320, no_grad)
+        att = M_kg.compute_att_map(params, self.graph, self.cfg)
+
+        # ---- phase B: CF with the frozen att map
+        n_pad_cf = self.num_batches * bs
+        perm_cf = jnp.pad(
+            jax.random.permutation(kcf, self.n_rows), (0, n_pad_cf - self.n_rows)
+        )
+        mask_cf = (jnp.arange(n_pad_cf) < self.n_rows).astype(jnp.float32)
+
+        def cf_step(carry, inputs):
+            params, opt_state = carry
+            rows, row_mask, bkey = inputs
+            kb, kl = jax.random.split(bkey)
+            batch = self._build_batch(rows, kb)
+            loss, grads = jax.value_and_grad(
+                lambda p: M_kg.kg_cf_loss(
+                    p, self.graph, self.cfg, att, batch, row_mask,
+                    training=True,
+                    dropout_key=kl if self.cfg.dropout > 0 else None,
+                )
+            )(params)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        (params, opt_state), cf_losses = jax.lax.scan(
+            cf_step, (params, opt_state),
+            (
+                perm_cf.reshape(self.num_batches, bs),
+                mask_cf.reshape(self.num_batches, bs),
+                jax.random.split(jax.random.fold_in(kcf, 1), self.num_batches),
+            ),
+        )
         del kg_losses  # reference reports phases separately; we report CF
-        return params, opt_state, cf_loss
+        return params, opt_state, jnp.mean(cf_losses)

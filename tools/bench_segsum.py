@@ -16,6 +16,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from graph_recsys_benchmark_tpu.ops import segment_sum, sorted_segment_sum_pallas
+from graph_recsys_benchmark_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
 
 
 def bench(f, x, iters=50):

@@ -12,6 +12,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+from graph_recsys_benchmark_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 from graph_recsys_benchmark_tpu.data import build_mlsmall_hin, synthetic_mlsmall_raw
 from graph_recsys_benchmark_tpu.models.pea import PEAConfig
 from graph_recsys_benchmark_tpu.train import PEATrainer, TrainConfig
