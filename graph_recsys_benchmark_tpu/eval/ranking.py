@@ -27,12 +27,41 @@ def rank_candidates(score_fn, test_users, test_pos, neg_items):
     return pos_scores, neg_scores
 
 
-def evaluate_ranking(key, score_fn, tables, num_candidates=99, user_mask=None):
+def eval_loss_per_user(pos_scores, neg_scores, loss_form="bpr"):
+    """Per-user eval loss, matching each reference model family's
+    `model.loss` eval branch on the merged 1-pos x C-neg frame:
+
+    'bpr'  — GraphRecsysModel.loss (base.py:43-48): -Σ_j log σ(pos - neg_j)
+    'bce'  — MFRecsysModel.loss (base.py:111-123): BCEWithLogits over
+             [pos, neg_1..C] with labels [1, 0..], mean over the C+1 preds
+    'mse'  — NFMRecsysModel.loss (nfm.py:21-33): MSE over the same stack
+    'zero' — CFKGSolver (cfkg_solver_bpr.py:260-261 hard-codes eval loss 0)
+    """
+    c = neg_scores.shape[1]
+    if loss_form == "bpr":
+        z = pos_scores[:, None] - neg_scores
+        return jnp.sum(jax.nn.softplus(-z), axis=1)
+    if loss_form == "bce":
+        # BCEWithLogits: label 1 -> softplus(-x); label 0 -> softplus(x)
+        return (
+            jax.nn.softplus(-pos_scores) + jnp.sum(jax.nn.softplus(neg_scores), axis=1)
+        ) / (c + 1)
+    if loss_form == "mse":
+        return ((pos_scores - 1.0) ** 2 + jnp.sum(neg_scores**2, axis=1)) / (c + 1)
+    if loss_form == "zero":
+        return jnp.zeros_like(pos_scores)
+    raise ValueError(loss_form)
+
+
+def evaluate_ranking(
+    key, score_fn, tables, num_candidates=99, user_mask=None, loss_form="bpr"
+):
     """Full eval pass -> dict of mean metrics in the reference layout.
 
     tables: train.sampling.DeviceTables.
-    eval_loss matches solvers.py:63-72: per user the BPR sum over the
-    (pos, neg_j) pairs, then the mean over users.
+    eval_loss matches solvers.py:63-72: per user `model.loss` over the
+    (pos, neg_j) merged pairs (form per model family — eval_loss_per_user),
+    then the mean over users.
     """
     from ..train.sampling import sample_eval_negatives
     from .metrics import hit_vec_metrics
@@ -47,9 +76,7 @@ def evaluate_ranking(key, score_fn, tables, num_candidates=99, user_mask=None):
         user_mask = jnp.ones_like(pos_scores)
     denom = jnp.maximum(jnp.sum(user_mask), 1.0)
 
-    # eval loss: -Σ_j log σ(pos - neg_j) per user, meaned over users
-    z = pos_scores[:, None] - neg_scores
-    per_user_loss = jnp.sum(jax.nn.softplus(-z), axis=1)
+    per_user_loss = eval_loss_per_user(pos_scores, neg_scores, loss_form)
 
     wm = user_mask[:, None]
     return {

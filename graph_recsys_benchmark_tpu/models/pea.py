@@ -150,9 +150,11 @@ def _fused_gcn_step(sp, h, g, num_channels, num_nodes):
     else:
         z = jnp.einsum("cnd,cde->cne", h, sp["w"])
     z = z.reshape(num_channels * num_nodes, -1)
+    from ..ops.config import msg_cast
     from ..ops.gather import gather_src
 
-    msgs = g.w[:, None] * gather_src(z, g)
+    z, w = msg_cast(z, g.w)
+    msgs = w[:, None] * gather_src(z, g)
     out = C._aggregate(msgs, g)
     return out.reshape(num_channels, num_nodes, -1) + sp["b"][:, None, :]
 
@@ -162,10 +164,12 @@ def _fused_sage_step(sp, h, g, num_channels, num_nodes):
         hc = jnp.broadcast_to(h[None, :num_nodes], (num_channels,) + h[:num_nodes].shape)
     else:
         hc = h
+    from ..ops.config import msg_cast
     from ..ops.gather import gather_src
 
     flat = hc.reshape(num_channels * num_nodes, -1)
-    mean_agg = C._aggregate(g.w[:, None] * gather_src(flat, g), g)
+    flat, w = msg_cast(flat, g.w)
+    mean_agg = C._aggregate(w[:, None] * gather_src(flat, g), g)
     mean_agg = mean_agg.reshape(num_channels, num_nodes, -1)
     out = jnp.einsum("cnd,cde->cne", mean_agg, sp["w_rel"]) + sp["b_rel"][:, None, :]
     return out + jnp.einsum("cnd,cde->cne", hc, sp["w_root"])
@@ -192,8 +196,10 @@ def _fused_gat_step(sp, h, g, num_channels, num_nodes, heads, concat,
     if dropout > 0.0 and dropout_key is not None:
         keep = jax.random.bernoulli(dropout_key, 1.0 - dropout, alpha.shape)
         alpha = jnp.where(keep, alpha / (1.0 - dropout), 0.0)
-    z_flat = z.reshape(n_virtual, heads, c_dim)
-    out = C._aggregate(gather_src(z_flat, g) * alpha[:, :, None], g)
+    from ..ops.config import msg_cast
+
+    z_flat, alpha_m = msg_cast(z.reshape(n_virtual, heads, c_dim), alpha)
+    out = C._aggregate(gather_src(z_flat, g) * alpha_m[:, :, None], g)
     out = out.reshape(num_channels, num_nodes, heads, c_dim)
     if concat:
         out = out.reshape(num_channels, num_nodes, heads * c_dim)

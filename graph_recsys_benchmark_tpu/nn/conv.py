@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..graph import StepGraph
+from ..ops.config import msg_cast
 from ..ops.gather import gather_dst, gather_src
 from ..ops.pallas_segment import segment_softmax_auto, segment_sum_auto
 from .init import glorot, torch_linear_bias, torch_linear_weight, zeros_init
@@ -54,7 +55,8 @@ def gcn_init(key, in_dim, out_dim):
 
 def gcn_apply(params, x, g: StepGraph, use_pallas=None):
     h = _dot(x, params["w"])
-    msgs = g.w[:, None] * gather_src(h, g)
+    h, w = msg_cast(h, g.w)
+    msgs = w[:, None] * gather_src(h, g)
     return _aggregate(msgs, g, use_pallas) + params["b"]
 
 
@@ -97,6 +99,7 @@ def gat_apply(
     if dropout > 0.0 and dropout_key is not None:
         keep = jax.random.bernoulli(dropout_key, 1.0 - dropout, alpha.shape)
         alpha = jnp.where(keep, alpha / (1.0 - dropout), 0.0)
+    h, alpha = msg_cast(h, alpha)
     msgs = gather_src(h, g) * alpha[:, :, None]  # [E, H, C]
     out = _aggregate(msgs, g, use_pallas)  # [N, H, C]
     if concat:
@@ -121,7 +124,8 @@ def sage_init(key, in_dim, out_dim):
 def sage_apply(params, x, g: StepGraph, use_pallas=None):
     # g.w = 1/indeg(dst) turns the segment-sum into PyG's mean aggregation.
     # x may carry sharding-padded rows; node-aligned terms slice to num_nodes.
-    msgs = g.w[:, None] * gather_src(x, g)
+    xm, w = msg_cast(x, g.w)
+    msgs = w[:, None] * gather_src(xm, g)
     mean_agg = _aggregate(msgs, g, use_pallas)
     root = _dot(x[: g.num_nodes], params["w_root"])
     return _dot(mean_agg, params["w_rel"]) + params["b_rel"] + root
@@ -156,7 +160,8 @@ def kgat_init(key, in_dim, out_dim):
 
 def kgat_apply(params, x, g: StepGraph, att_map, negative_slope=0.2, use_pallas=None):
     """att_map: float[E_pad] per-edge attention (0 on padding)."""
-    aggr = _aggregate(att_map[:, None] * gather_src(x, g), g, use_pallas)
+    xm, att = msg_cast(x, att_map)
+    aggr = _aggregate(att[:, None] * gather_src(xm, g), g, use_pallas)
     xn = x[: g.num_nodes]
     add_aggr = jax.nn.leaky_relu(_dot(xn + aggr, params["w_add"]), negative_slope)
     bi_aggr = jax.nn.leaky_relu(_dot(xn * aggr, params["w_bi"]), negative_slope)
@@ -171,5 +176,6 @@ def kgcn_init(key, in_dim, out_dim):
 
 
 def kgcn_apply(params, x, g: StepGraph, att_map, use_pallas=None):
-    aggr = _aggregate(att_map[:, None] * gather_src(x, g), g, use_pallas)
+    xm, att = msg_cast(x, att_map)
+    aggr = _aggregate(att[:, None] * gather_src(xm, g), g, use_pallas)
     return jax.nn.relu(_dot(aggr + x[: g.num_nodes], params["w"]) + params["b"])

@@ -38,7 +38,9 @@ def _bwd(n, res, ct):
     shape = ct.shape
     ct2 = ct.reshape(shape[0], -1)[perm]
     gx = segment_sum_auto(ct2, idx_sorted, n)
-    gx = gx.reshape((n,) + shape[1:])
+    # accumulation is f32; the cotangent must match the primal dtype
+    # (bf16 under the bf16 message-transport config)
+    gx = gx.reshape((n,) + shape[1:]).astype(ct.dtype)
     return (gx, None, None, None)
 
 

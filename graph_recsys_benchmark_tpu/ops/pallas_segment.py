@@ -47,7 +47,29 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
-def _kernel(chunk_bounds_ref, msgs_t_hbm, dst_hbm, out_ref, msg_buf, dst_buf, sems):
+def _make_segsum_kernel(chunk, msg_dtype):
+    """Kernel factory.  f32 transport uses precision=HIGHEST (TPU default
+    would decompose f32 matmuls through bf16, losing ~3 mantissa bits per
+    message); bf16 transport is a native 1-pass MXU matmul (the one-hot
+    operand is exact in bf16 — entries are 0/1).  Mosaic does not support
+    per-operand precision, so it is uniform per transport dtype."""
+    msg_precision = (
+        jax.lax.Precision.DEFAULT
+        if msg_dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+
+    def _kernel(chunk_bounds_ref, msgs_t_hbm, dst_hbm, out_ref, msg_buf, dst_buf, sems):
+        return _segsum_kernel_body(
+            chunk, msg_dtype, msg_precision, chunk_bounds_ref, msgs_t_hbm,
+            dst_hbm, out_ref, msg_buf, dst_buf, sems,
+        )
+
+    return _kernel
+
+
+def _segsum_kernel_body(_C, msg_dtype, msg_precision, chunk_bounds_ref,
+                        msgs_t_hbm, dst_hbm, out_ref, msg_buf, dst_buf, sems):
     i = pl.program_id(0)
     c_lo = chunk_bounds_ref[i, 0]
     c_hi = chunk_bounds_ref[i, 1]
@@ -88,31 +110,33 @@ def _kernel(chunk_bounds_ref, msgs_t_hbm, dst_hbm, out_ref, msg_buf, dst_buf, se
             start_dma(c + 1, jax.lax.rem(c + 1 - c_lo, 2))
 
         wait_dma(c, slot)
-        onehot = (dst_buf[slot] == row_ids).astype(jnp.float32)  # [R, C]
+        onehot = (dst_buf[slot] == row_ids).astype(msg_dtype)  # [R, C]
         # acc[R, D] += OH[R, C] . msgs[D, C]^T — contract on C, no transpose.
-        # precision=HIGHEST keeps full f32 (TPU default decomposes f32
-        # matmuls through bf16, which loses ~3 mantissa bits per message);
-        # the kernel is bandwidth-bound so the extra MXU passes are hidden.
         out_ref[:] += jax.lax.dot_general(
             onehot,
             msg_buf[slot],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=msg_precision,
         )
         return ()
 
     jax.lax.fori_loop(c_lo, c_hi, body, (), unroll=False)
 
 
-def _pallas_forward(msgs, dst, num_rows, interpret):
+def _pallas_forward(msgs, dst, num_rows, interpret, transport="f32", chunk=None):
     e, d = msgs.shape
+    msg_dtype = jnp.bfloat16 if transport == "bf16" else jnp.float32
+    if chunk is None:
+        # tools/bench_segsum_variants.py on v5e: f32 fastest at 512; bf16 at
+        # 1024 (DMA-latency-bound — bf16 halves bytes/chunk, so go bigger).
+        chunk = 1024 if msg_dtype == jnp.bfloat16 else _C
     d_pad = max(8, _cdiv(d, 8) * 8)
-    e_pad = _cdiv(e, _C) * _C
+    e_pad = _cdiv(e, chunk) * chunk
     n_blocks = _cdiv(num_rows, _R)
     n_pad = n_blocks * _R
 
-    msgs_t = msgs.astype(jnp.float32).T  # [D, E]
+    msgs_t = msgs.astype(msg_dtype).T  # [D, E]
     if d_pad != d or e_pad != e:
         msgs_t = jnp.pad(msgs_t, ((0, d_pad - d), (0, e_pad - e)))
     if e_pad != e:
@@ -121,8 +145,9 @@ def _pallas_forward(msgs, dst, num_rows, interpret):
     row_starts = jnp.arange(n_blocks, dtype=dst.dtype) * _R
     e_lo = jnp.searchsorted(dst, row_starts, side="left").astype(jnp.int32)
     e_hi = jnp.searchsorted(dst, row_starts + _R, side="left").astype(jnp.int32)
-    chunk_bounds = jnp.stack([e_lo // _C, _cdiv(e_hi, _C)], axis=1)
+    chunk_bounds = jnp.stack([e_lo // chunk, _cdiv(e_hi, chunk)], axis=1)
 
+    itemsize = 2 if msg_dtype == jnp.bfloat16 else 4
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_blocks,),
@@ -134,43 +159,48 @@ def _pallas_forward(msgs, dst, num_rows, interpret):
             (_R, d_pad), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, d_pad, _C), jnp.float32),
-            pltpu.VMEM((2, 1, _C), jnp.int32),
+            pltpu.VMEM((2, d_pad, chunk), msg_dtype),
+            pltpu.VMEM((2, 1, chunk), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
 
     out = pl.pallas_call(
-        _kernel,
+        _make_segsum_kernel(chunk, msg_dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, d_pad), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * _R * e_pad * d_pad,
-            bytes_accessed=e_pad * d_pad * 4 + e_pad * 4 + n_pad * d_pad * 4,
+            bytes_accessed=e_pad * d_pad * itemsize + e_pad * 4 + n_pad * d_pad * 4,
             transcendentals=0,
         ),
     )(chunk_bounds, msgs_t, dst.reshape(1, -1).astype(jnp.int32))
     return out[:num_rows, :d]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def sorted_segment_sum_pallas(msgs, dst, num_rows, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def sorted_segment_sum_pallas(msgs, dst, num_rows, interpret=False, transport="f32"):
     """Segment-sum `msgs[E, D]` by sorted destination ids `dst[E]` into
     `[num_rows, D]`.  Padding edges must use `dst == num_rows` (their
-    messages must be zeroed by the caller, as graph.py's `w == 0` does)."""
-    return _pallas_forward(msgs, dst, num_rows, interpret)
+    messages must be zeroed by the caller, as graph.py's `w == 0` does).
+    transport='bf16' moves messages through HBM/MXU in bfloat16 with f32
+    accumulation (half the DMA bytes, 1 MXU pass vs 3; costs ~3 mantissa
+    bits per message)."""
+    return _pallas_forward(msgs, dst, num_rows, interpret, transport)
 
 
-def _fwd(msgs, dst, num_rows, interpret):
-    return _pallas_forward(msgs, dst, num_rows, interpret), dst
+def _fwd(msgs, dst, num_rows, interpret, transport):
+    out = _pallas_forward(msgs, dst, num_rows, interpret, transport)
+    return out, (dst, jnp.zeros((0,), msgs.dtype))
 
 
-def _bwd(num_rows, interpret, dst, g):
+def _bwd(num_rows, interpret, transport, res, g):
+    dst, dtype_probe = res
     # d/dmsgs of segment-sum is a row gather; padding edges get zero.
     safe_dst = jnp.minimum(dst, num_rows - 1)
     g_msgs = jnp.where((dst < num_rows)[:, None], g[safe_dst], 0.0)
-    return (g_msgs, None)
+    return (g_msgs.astype(dtype_probe.dtype), None)
 
 
 sorted_segment_sum_pallas.defvjp(_fwd, _bwd)
@@ -368,7 +398,13 @@ def segment_sum_auto(msgs, dst, num_rows, indices_are_sorted=True, use_pallas=No
         and msgs.shape[0] >= 65536,
     ) and (indices_are_sorted and msgs.ndim == 2)
     if use_pallas:
-        return sorted_segment_sum_pallas(msgs, dst, num_rows)
+        return sorted_segment_sum_pallas(
+            msgs, dst, num_rows, False, _cfg.SEGSUM_TRANSPORT
+        )
+    if msgs.dtype == jnp.bfloat16:
+        # XLA fallback accumulates in the message dtype; keep f32 accumulation
+        # (the Pallas path always accumulates f32)
+        msgs = msgs.astype(jnp.float32)
     return jax.ops.segment_sum(
         msgs, dst, num_segments=num_rows, indices_are_sorted=indices_are_sorted
     )

@@ -101,6 +101,9 @@ class NFMTrainer(GraphEpochEngine):
             mf_offsets=(hin.type_accs[hin.types[0]], hin.item_acc),
             loss_mode="bce",
             has_state=True,
+            # NFM overrides MFRecsysModel.loss with MSELoss (nfm.py:21-33),
+            # so its eval-loss column is the MSE form, not BCE
+            eval_loss_form="mse",
         )
 
 

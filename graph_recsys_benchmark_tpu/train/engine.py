@@ -45,6 +45,7 @@ class GraphEpochEngine:
         loss_mode: str = "bpr",  # 'bpr' | 'bce' | 'mse' | 'kg'
         has_state: bool = False,
         kg_edges=None,  # int32[E_kg, 3] (h, t, rel) for loss_mode='kg'
+        eval_loss_form: Optional[str] = None,  # override (eval.ranking forms)
     ):
         self.hin = hin
         self.tcfg = tcfg
@@ -74,6 +75,9 @@ class GraphEpochEngine:
         self.mf_offsets = mf_offsets
         self.num_channels = num_channels
         self.loss_mode = loss_mode
+        self.eval_loss_form = eval_loss_form or {
+            "bpr": "bpr", "bce": "bce", "mse": "mse", "kg": "zero"
+        }[loss_mode]
 
         self.kg_edges = kg_edges
         ei = hin.train_pos.shape[0]
@@ -208,7 +212,9 @@ class GraphEpochEngine:
                 return self._predict(params, cached, u - u_lo, i - i_lo)
 
         return evaluate_ranking(
-            key, score, self.tables, num_candidates=self.tcfg.num_neg_candidates
+            key, score, self.tables,
+            num_candidates=self.tcfg.num_neg_candidates,
+            loss_form=self.eval_loss_form,
         )
 
     def evaluate(self, params, key, metapath_idx: Optional[int] = None):

@@ -57,3 +57,35 @@ def test_bpr_sum_matches_reference_formula():
     want = float(-(torch.tensor(pos) - torch.tensor(neg)).sigmoid().log().sum())
     got = float(jnp.sum(-_log_sigmoid(jnp.asarray(pos) - jnp.asarray(neg))))
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def _eval_stack(pos_scores, neg_scores, u):
+    """The reference's per-user eval stack: [pos_pred[:1], neg_pred]."""
+    pos = torch.tensor(pos_scores[u : u + 1])
+    neg = torch.tensor(neg_scores[u])
+    pred = torch.cat([pos, neg])
+    label = torch.cat([torch.ones_like(pos), torch.zeros_like(neg)])
+    return pred, label
+
+
+def test_eval_loss_forms_match_reference_models():
+    """eval_loss_per_user vs literal MFRecsysModel.loss (BCE, base.py:111-123)
+    and NFM/HeRec MSELoss eval branches (nfm.py:21-33)."""
+    from graph_recsys_benchmark_tpu.eval.ranking import eval_loss_per_user
+
+    rng = np.random.default_rng(2)
+    u, c = 8, 99
+    pos = rng.standard_normal(u).astype(np.float32)
+    neg = rng.standard_normal((u, c)).astype(np.float32)
+
+    got_bce = np.asarray(eval_loss_per_user(jnp.asarray(pos), jnp.asarray(neg), "bce"))
+    got_mse = np.asarray(eval_loss_per_user(jnp.asarray(pos), jnp.asarray(neg), "mse"))
+    got_zero = np.asarray(eval_loss_per_user(jnp.asarray(pos), jnp.asarray(neg), "zero"))
+
+    for i in range(u):
+        pred, label = _eval_stack(pos, neg, i)
+        want_bce = float(torch.nn.BCEWithLogitsLoss()(pred, label))
+        want_mse = float(torch.nn.MSELoss()(pred, label))
+        np.testing.assert_allclose(got_bce[i], want_bce, rtol=1e-5)
+        np.testing.assert_allclose(got_mse[i], want_mse, rtol=1e-5)
+    np.testing.assert_array_equal(got_zero, np.zeros(u, dtype=np.float32))
