@@ -53,6 +53,11 @@ def build_parser():
     p.add_argument("--metapath_test", default="false")
     p.add_argument("--save_every_epoch", type=int, default=26)
     p.add_argument("--cache_dir", default=".hin_cache")
+    p.add_argument(
+        "--message_dtype", default="f32", choices=("f32", "bf16"),
+        help="edge message-transport dtype; bf16 halves gather/segment HBM "
+        "traffic on TPU (f32 accumulation, ~3 fewer mantissa bits/message)",
+    )
     # walk-stage params (metapath2vec_solver_bpr.py:36-58)
     p.add_argument("--walk_length", type=int, default=100)
     p.add_argument("--context_size", type=int, default=7)
@@ -242,6 +247,10 @@ def build_trainer(args, hin, mp_edges):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.message_dtype != "f32":
+        from .ops import config as ops_config
+
+        ops_config.SEGSUM_TRANSPORT = args.message_dtype
     hin, mp_edges = load_hin(args)
     print(
         f"{hin.name}: {hin.num_nodes} nodes ({hin.num_users} users, "

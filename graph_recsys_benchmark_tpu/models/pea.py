@@ -143,8 +143,11 @@ def _stacked_step_params(params, step_idx):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_channel)
 
 
-def _fused_gcn_step(sp, h, g, num_channels, num_nodes):
-    """h: [N, din] (shared input) or [C, N, din] -> [C, N, dout]."""
+def _fused_gcn_step(sp, h, g, num_channels, num_nodes, aggregate=None):
+    """h: [N, din] (shared input) or [C, N, din] -> [C, N, dout].
+
+    `aggregate(msgs, g)` overrides the segment reduction (edge-parallel
+    path psums local partials, parallel/edge_parallel.py)."""
     if h.ndim == 2:
         z = jnp.einsum("nd,cde->cne", h[:num_nodes], sp["w"])
     else:
@@ -155,11 +158,11 @@ def _fused_gcn_step(sp, h, g, num_channels, num_nodes):
 
     z, w = msg_cast(z, g.w)
     msgs = w[:, None] * gather_src(z, g)
-    out = C._aggregate(msgs, g)
+    out = (aggregate or C._aggregate)(msgs, g)
     return out.reshape(num_channels, num_nodes, -1) + sp["b"][:, None, :]
 
 
-def _fused_sage_step(sp, h, g, num_channels, num_nodes):
+def _fused_sage_step(sp, h, g, num_channels, num_nodes, aggregate=None):
     if h.ndim == 2:
         hc = jnp.broadcast_to(h[None, :num_nodes], (num_channels,) + h[:num_nodes].shape)
     else:
@@ -169,16 +172,18 @@ def _fused_sage_step(sp, h, g, num_channels, num_nodes):
 
     flat = hc.reshape(num_channels * num_nodes, -1)
     flat, w = msg_cast(flat, g.w)
-    mean_agg = C._aggregate(w[:, None] * gather_src(flat, g), g)
+    mean_agg = (aggregate or C._aggregate)(w[:, None] * gather_src(flat, g), g)
     mean_agg = mean_agg.reshape(num_channels, num_nodes, -1)
     out = jnp.einsum("cnd,cde->cne", mean_agg, sp["w_rel"]) + sp["b_rel"][:, None, :]
     return out + jnp.einsum("cnd,cde->cne", hc, sp["w_root"])
 
 
 def _fused_gat_step(sp, h, g, num_channels, num_nodes, heads, concat,
-                    dropout, dropout_key):
+                    dropout, dropout_key, aggregate=None, softmax=None):
     from ..ops.gather import gather_dst, gather_src
     from ..ops.pallas_segment import segment_softmax_auto
+
+    softmax = softmax or segment_softmax_auto
 
     if h.ndim == 2:
         z = jnp.einsum("nd,cde->cne", h[:num_nodes], sp["w"])
@@ -192,14 +197,14 @@ def _fused_gat_step(sp, h, g, num_channels, num_nodes, heads, concat,
     a_src = jnp.sum(z * att_src[:, None], axis=-1).reshape(num_channels * num_nodes, heads)
     n_virtual = num_channels * num_nodes
     alpha = jax.nn.leaky_relu(gather_dst(a_dst, g) + gather_src(a_src, g), 0.2)
-    alpha = segment_softmax_auto(alpha, g.dst, n_virtual)
+    alpha = softmax(alpha, g.dst, n_virtual)
     if dropout > 0.0 and dropout_key is not None:
         keep = jax.random.bernoulli(dropout_key, 1.0 - dropout, alpha.shape)
         alpha = jnp.where(keep, alpha / (1.0 - dropout), 0.0)
     from ..ops.config import msg_cast
 
     z_flat, alpha_m = msg_cast(z.reshape(n_virtual, heads, c_dim), alpha)
-    out = C._aggregate(gather_src(z_flat, g) * alpha_m[:, :, None], g)
+    out = (aggregate or C._aggregate)(gather_src(z_flat, g) * alpha_m[:, :, None], g)
     out = out.reshape(num_channels, num_nodes, heads, c_dim)
     if concat:
         out = out.reshape(num_channels, num_nodes, heads * c_dim)
@@ -214,6 +219,8 @@ def pea_forward_fused(
     cfg: PEAConfig,
     training: bool = False,
     dropout_key=None,
+    aggregate=None,  # override segment reduction (edge-parallel psum path)
+    softmax=None,  # override segment softmax (edge-parallel stats exchange)
 ):
     """All channels advance together: per step, ONE batched einsum + ONE
     union-graph segment reduction instead of num_channels small convs.
@@ -228,9 +235,9 @@ def pea_forward_fused(
         g = fused_graphs[i]
         _, _, heads, _ = dims[i]
         if cfg.conv == "gcn":
-            h = _fused_gcn_step(sp, h, g, cfg.num_channels, n)
+            h = _fused_gcn_step(sp, h, g, cfg.num_channels, n, aggregate)
         elif cfg.conv == "sage":
-            h = _fused_sage_step(sp, h, g, cfg.num_channels, n)
+            h = _fused_sage_step(sp, h, g, cfg.num_channels, n, aggregate)
         elif cfg.conv == "gat":
             dk = None
             if training and cfg.dropout > 0.0 and dropout_key is not None:
@@ -238,6 +245,7 @@ def pea_forward_fused(
             h = _fused_gat_step(
                 sp, h, g, cfg.num_channels, n, heads, True,
                 cfg.dropout if training else 0.0, dk,
+                aggregate, softmax,
             )
         else:
             raise ValueError(cfg.conv)
