@@ -93,14 +93,22 @@ def gat_apply(
     att_dst, att_src = att[:, :c], att[:, c:]  # x_i (target) first, then x_j
     alpha_dst = jnp.sum(h * att_dst[None], axis=-1)  # [N, H]
     alpha_src = jnp.sum(h * att_src[None], axis=-1)
-    alpha = gather_dst(alpha_dst, g) + gather_src(alpha_src, g)  # [E, H]
+    # src-side logits ride the wide row gather as extra columns (1-D gathers
+    # lower to a serial scalar loop on TPU — see models/pea._fused_gat_step)
+    packed = msg_cast(
+        jnp.concatenate([h.reshape(h.shape[0], heads * c), alpha_src], axis=1)
+    )
+    packed_e = gather_src(packed, g)  # [E, H*C + H]
+    h_e = packed_e[:, : heads * c].reshape(-1, heads, c)
+    alpha_src_e = packed_e[:, heads * c :].astype(jnp.float32)
+    alpha = gather_dst(alpha_dst, g) + alpha_src_e  # [E, H]
     alpha = jax.nn.leaky_relu(alpha, negative_slope)
     alpha = segment_softmax_auto(alpha, g.dst, n)
     if dropout > 0.0 and dropout_key is not None:
         keep = jax.random.bernoulli(dropout_key, 1.0 - dropout, alpha.shape)
         alpha = jnp.where(keep, alpha / (1.0 - dropout), 0.0)
-    h, alpha = msg_cast(h, alpha)
-    msgs = gather_src(h, g) * alpha[:, :, None]  # [E, H, C]
+    alpha = msg_cast(alpha)
+    msgs = h_e * alpha[:, :, None]  # [E, H, C]
     out = _aggregate(msgs, g, use_pallas)  # [N, H, C]
     if concat:
         out = out.reshape(n, heads * c)

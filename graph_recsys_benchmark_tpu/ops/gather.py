@@ -54,6 +54,18 @@ def gather_src(x, g):
 
 def gather_dst(x, g):
     """Gather per-edge destination rows; dst is already sorted, so the
-    backward segment-sum needs no permutation."""
+    backward segment-sum needs no permutation.  Narrow x (<= 8 columns)
+    routes to the Pallas sorted-broadcast kernel on TPU — XLA lowers
+    narrow-row gathers to a serial scalar loop there (tools/profile_step.py:
+    1.4 GB/s vs 73 GB/s for wide rows)."""
+    from . import config as _cfg
+    from .pallas_segment import _on_tpu, sorted_broadcast_pallas
+
+    k = 1 if x.ndim == 1 else x.shape[-1]
+    use_pallas = _cfg.resolve(
+        None, _on_tpu() and x.ndim <= 2 and k <= 8 and g.dst.shape[0] >= 65536
+    ) and (x.ndim <= 2 and k <= 8)
+    if use_pallas:
+        return sorted_broadcast_pallas(x, g.dst, x.shape[0])
     ar = jnp.arange(g.dst.shape[0], dtype=jnp.int32)
     return gather_rows(x, g.dst, ar, g.dst, x.shape[0])

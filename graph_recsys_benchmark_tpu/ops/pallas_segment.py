@@ -329,9 +329,14 @@ def segment_softmax_pallas(alpha, dst, num_rows, interpret=False):
 def _softmax_fwd_impl(alpha, dst, num_rows, interpret):
     seg_max, seg_sum = _softmax_stats(alpha, dst, num_rows, interpret)
     seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
-    safe = jnp.minimum(dst, num_rows - 1)
-    expd = jnp.exp(alpha - seg_max[safe])
-    att = expd / (seg_sum[safe] + 1e-16)
+    # both per-edge stats ride ONE 2-column broadcast kernel pass (XLA's
+    # narrow gather lowers to a scalar loop on TPU)
+    stats = jax.lax.stop_gradient(jnp.stack([seg_max, seg_sum], axis=1))
+    stats_e = sorted_broadcast_pallas(stats, dst, num_rows, interpret)
+    expd = jnp.exp(alpha - stats_e[:, 0])
+    # padding edges (dst == num_rows) read the zero stats row; force their
+    # att to 0 so no exp overflow / grad leakage can ever reach real nodes
+    att = jnp.where(dst < num_rows, expd / (stats_e[:, 1] + 1e-16), 0.0)
     return att, (att, dst)
 
 
@@ -342,14 +347,166 @@ def _softmax_fwd(alpha, dst, num_rows, interpret):
 
 def _softmax_bwd(num_rows, interpret, res, g):
     att, dst = res
-    # d alpha_e = att_e * (g_e - sum_seg(att * g)); the extra segment-sum
-    # rides the sorted MXU kernel.
+    # d alpha_e = att_e * (g_e - sum_seg(att * g)); the segment-sum rides
+    # the sorted MXU kernel and the per-edge readback rides the broadcast
+    # kernel (not XLA's scalar-loop gather).
     s = sorted_segment_sum_pallas((att * g)[:, None], dst, num_rows, interpret)[:, 0]
-    safe = jnp.minimum(dst, num_rows - 1)
-    return (att * (g - s[safe]), None)
+    s_e = sorted_broadcast_pallas(s, dst, num_rows, interpret)
+    return (att * (g - s_e), None)
 
 
 segment_softmax_pallas.defvjp(_softmax_fwd, _softmax_bwd)
+
+
+# ------------------------------------------------------------------
+# Sorted-broadcast: out[e] = v[dst[e]] for dst sorted ascending.
+#
+# XLA lowers 1-D / narrow-row gathers to a serial scalar loop on TPU
+# (~1.4 GB/s measured on the GAT attention path — tools/profile_step.py);
+# this kernel instead streams the edge list in chunks and resolves each
+# chunk against a small window of v rows with an exact one-hot MXU matmul
+# (each edge matches exactly one row, so no accumulation rounding).  The
+# backward of a broadcast is a sorted segment-sum — the MXU kernel above.
+
+_BR = 128  # v-row window (lane-aligned so dynamic window DMAs are legal)
+_BC = 2048  # edge chunk
+
+
+def _make_broadcast_kernel(chunk, k_pad):
+    def _kernel(meta_ref, v_hbm, dst_ref, out_ref, v_buf, sems):
+        j = pl.program_id(0)
+        row0_blk = meta_ref[j, 0]  # window start in _BR units (alignment proof)
+        n_win = meta_ref[j, 1]
+
+        col_dst = dst_ref[:]  # [1, C] (auto-pipelined block)
+
+        def body(w, acc):
+            start = (row0_blk + w) * _BR
+            cp = pltpu.make_async_copy(
+                v_hbm.at[:, pl.ds(start, _BR)], v_buf, sems
+            )
+            cp.start()
+            cp.wait()
+            row_ids = (
+                jax.lax.broadcasted_iota(jnp.int32, (_BR, chunk), dimension=0)
+                + start
+            )
+            oh = (col_dst == row_ids).astype(jnp.float32)  # [R, C]
+            # [K, R] @ [R, C]: one nonzero per column -> exact row select
+            return acc + jax.lax.dot_general(
+                v_buf[:],
+                oh,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        out_ref[:] = jax.lax.fori_loop(
+            0, n_win, body, jnp.zeros((k_pad, chunk), jnp.float32)
+        )
+
+    return _kernel
+
+
+def _broadcast_forward(v, dst, num_rows, interpret):
+    squeeze = v.ndim == 1
+    if squeeze:
+        v = v[:, None]
+    n, k = v.shape
+    k_pad = 8
+    assert k <= k_pad, "sorted_broadcast supports K <= 8 columns"
+    e = dst.shape[0]
+    e_pad = _cdiv(e, _BC) * _BC
+    n_chunks = e_pad // _BC
+    # v windows may start at any _BR-aligned row <= last real dst and read
+    # _BR rows; pad so every window stays in bounds
+    n_pad = _cdiv(num_rows + 1, _BR) * _BR + _BR
+
+    v_t = jnp.zeros((k_pad, n_pad), jnp.float32).at[:k, :n].set(
+        v.astype(jnp.float32).T
+    )
+    if e_pad != e:
+        dst = jnp.pad(dst, (0, e_pad - e), constant_values=num_rows)
+    dst = dst.astype(jnp.int32)
+
+    by_chunk = dst.reshape(n_chunks, _BC)
+    first = by_chunk[:, 0]
+    last = by_chunk[:, -1]
+    row0_blk = first // _BR  # window start in _BR units
+    n_win = _cdiv(last + 1 - row0_blk * _BR, _BR)
+    meta = jnp.stack([row0_blk, n_win], axis=1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # v_t stays in HBM
+            pl.BlockSpec((1, _BC), lambda j, *_: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, _BC), lambda j, *_: (0, j), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((k_pad, _BR), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        _make_broadcast_kernel(_BC, k_pad),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k_pad, e_pad), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * _BR * e_pad * k_pad,
+            bytes_accessed=e_pad * (4 + 4 * k_pad) + n_pad * 4 * k_pad,
+            transcendentals=0,
+        ),
+    )(meta, v_t, dst.reshape(1, -1))
+    out = out[:k, :e].T  # [E, K]
+    return out[:, 0] if squeeze else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def sorted_broadcast_pallas(v, dst, num_rows, interpret=False):
+    """out[e] = v[dst[e]] for ascending `dst`; v: f32[N] or f32[N, K<=8].
+    Padding edges (dst == num_rows) read the zero pad row.  Backward is the
+    sorted segment-sum MXU kernel."""
+    return _broadcast_forward(v, dst, num_rows, interpret)
+
+
+def _bc_fwd(v, dst, num_rows, interpret):
+    return _broadcast_forward(v, dst, num_rows, interpret), (dst, v.ndim)
+
+
+def _bc_bwd(num_rows, interpret, res, g):
+    dst, v_ndim = res
+    g2 = g[:, None] if v_ndim == 1 else g
+    gv = segment_sum_auto(g2, dst, num_rows)
+    return (gv[:, 0] if v_ndim == 1 else gv, None)
+
+
+sorted_broadcast_pallas.defvjp(_bc_fwd, _bc_bwd)
+
+
+def sorted_broadcast_auto(v, dst, num_rows, indices_are_sorted=True, use_pallas=None):
+    """Dispatch v[dst] for sorted dst: Pallas broadcast kernel on TPU for
+    narrow v (where XLA's scalar-loop gather pathology bites), XLA gather
+    elsewhere."""
+    from . import config as _cfg
+
+    k = 1 if v.ndim == 1 else v.shape[1]
+    use_pallas = _cfg.resolve(
+        use_pallas,
+        _on_tpu() and indices_are_sorted and k <= 8 and dst.shape[0] >= 65536,
+    ) and (indices_are_sorted and k <= 8)
+    if use_pallas:
+        return sorted_broadcast_pallas(v, dst, num_rows)
+    safe = jnp.minimum(dst, num_rows - 1)
+    pad_zero = (dst < num_rows)
+    out = v[safe]
+    if v.ndim == 1:
+        return jnp.where(pad_zero, out, 0.0)
+    return jnp.where(pad_zero[:, None], out, 0.0)
 
 
 def segment_softmax_auto(alpha, dst, num_rows, indices_are_sorted=True, use_pallas=None):

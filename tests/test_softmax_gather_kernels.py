@@ -88,3 +88,39 @@ def test_gather_rows_3d_cotangent():
     g1 = jax.grad(lambda x: jnp.sum(gather_rows(x, *args, n) * w))(x)
     g2 = jax.grad(lambda x: jnp.sum(x[idx] * w))(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------- broadcast
+
+def test_sorted_broadcast_1d_value_and_grad():
+    from graph_recsys_benchmark_tpu.ops.pallas_segment import sorted_broadcast_pallas
+
+    rng = np.random.default_rng(3)
+    n, e = 300, 5000
+    dst = np.sort(rng.integers(0, n, e)).astype(np.int32)
+    dst[-17:] = n  # padding sentinel
+    v = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal(e).astype(np.float32))
+    dstj = jnp.asarray(dst)
+
+    got = np.asarray(sorted_broadcast_pallas(v, dstj, n, True))
+    want = np.where(dst < n, np.asarray(v)[np.minimum(dst, n - 1)], 0.0)
+    np.testing.assert_array_equal(got, want)  # exact row select
+
+    g1 = jax.grad(lambda x: jnp.sum(sorted_broadcast_pallas(x, dstj, n, True) * w))(v)
+    safe = jnp.minimum(dstj, n - 1)
+    g2 = jax.grad(
+        lambda x: jnp.sum(jnp.where(dstj < n, x[safe], 0.0) * w)
+    )(v)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-6)
+
+
+def test_sorted_broadcast_2d_columns():
+    from graph_recsys_benchmark_tpu.ops.pallas_segment import sorted_broadcast_pallas
+
+    rng = np.random.default_rng(4)
+    n, e, k = 150, 4000, 3
+    dst = np.sort(rng.integers(0, n, e)).astype(np.int32)
+    v = jnp.asarray(rng.standard_normal((n, k)).astype(np.float32))
+    got = np.asarray(sorted_broadcast_pallas(v, jnp.asarray(dst), n, True))
+    np.testing.assert_array_equal(got, np.asarray(v)[dst])
