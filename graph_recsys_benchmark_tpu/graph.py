@@ -1,4 +1,4 @@
-"""Static graph tensors: padded, destination-sorted edge lists per metapath step.
+"""Static graph tensors: padded, block-sorted edge lists per metapath step.
 
 The reference feeds raw ``edge_index`` int64 tensors straight into PyG convs
 (reference: utils/general_utils.py:280-395 builds per-metapath step lists;
@@ -6,8 +6,15 @@ each conv then recomputes degrees / adds self-loops on the fly).  On TPU,
 everything under ``jit`` must be shape-static, so this module moves all of
 that per-step preprocessing to graph-build time:
 
-  * edges are sorted by destination (stable, then by source) so segment
-    reductions can use `indices_are_sorted=True` and the Pallas MXU kernel,
+  * edges are sorted by (dst // 128, src) — "block order": `dst // 128` is
+    non-decreasing, so the Pallas MXU segment/softmax kernels can bound each
+    128-row output block's edge chunks, while `src` ascending *within* each
+    block makes every edge chunk's sources span only a few 128-row windows
+    of the node table — the locality contract of the localized gather /
+    scatter kernels (ops/pallas_segment.py) that replace XLA's serial-loop
+    edge gathers.  All kernels match ids by VALUE, so any order is correct;
+    block order is purely the speed contract.  dst is NOT fully sorted, so
+    XLA fallback paths must not claim `indices_are_sorted`,
   * self-loops (where the conv semantics require them) are materialized as
     real edges,
   * normalization coefficients (GCN symmetric norm, SAGE 1/indeg mean
@@ -47,7 +54,8 @@ PAD_TO = 512  # must match ops.pallas_segment._C
 class StepGraph:
     """One message-passing step: E_pad edges over `num_nodes` nodes.
 
-    src/dst: int32[E_pad], sorted by dst; padding has dst == num_nodes, src=0.
+    src/dst: int32[E_pad], sorted by (dst // 128, src) — see module docstring;
+             padding has dst == num_nodes, src=0.
     w:       float32[E_pad] per-edge coefficient; 0 on padding edges.
     rel:     int32[E_pad] signed relation ids (0 when unused).
     src_perm/src_sorted: the stable sort of `src` — lets the backward of
@@ -75,12 +83,15 @@ class StepGraph:
         return cls(*children, *aux)
 
 
+BLOCK = 128  # must match ops.pallas_segment._R / _BR
+
+
 def _sort_pad(src, dst, w, rel, num_nodes, pad_to=PAD_TO):
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
-    from .native import sort_edges_by_dst  # O(E+N) native counting sort
+    from .native import sort_edges_block  # O(E+N) native counting sort
 
-    order = sort_edges_by_dst(src, dst, num_nodes)
+    order = sort_edges_block(src, dst, num_nodes, BLOCK)
     src, dst, w, rel = src[order], dst[order], w[order], rel[order]
     e = src.shape[0]
     e_pad = max(pad_to, -(-e // pad_to) * pad_to)

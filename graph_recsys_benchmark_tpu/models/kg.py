@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..graph import StepGraph
 from ..nn import conv as C
-from ..ops import segment_softmax
+from ..ops import segment_softmax_auto
 from .ngcf import _dropout, _l2norm
 from .pea import _log_sigmoid
 
@@ -84,7 +84,7 @@ def compute_att_map(params, g: StepGraph, cfg: KGConfig):
     else:
         alpha = jnp.sum(x_dst * trans_vec, axis=-1)
     alpha = jax.lax.stop_gradient(alpha)
-    return segment_softmax(alpha, g.dst, g.num_nodes)
+    return segment_softmax_auto(alpha, g.dst, g.num_nodes)
 
 
 def kg_forward(params, g: StepGraph, cfg: KGConfig, att_map, training=False, dropout_key=None):

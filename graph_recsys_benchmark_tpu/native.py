@@ -42,6 +42,12 @@ def _load():
     u8 = ctypes.POINTER(ctypes.c_uint8)
     u64 = ctypes.POINTER(ctypes.c_uint64)
     lib.sort_edges_by_dst.argtypes = [i64, i64, ctypes.c_int64, ctypes.c_int64, i64]
+    try:  # absent in a stale .so built before block order landed
+        lib.sort_edges_block.argtypes = [
+            i64, i64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i64,
+        ]
+    except AttributeError:
+        pass
     lib.build_csr.argtypes = [i64, i64, ctypes.c_int64, ctypes.c_int64, i64, i64]
     lib.leave_one_out.argtypes = [i64, i64, ctypes.c_int64, ctypes.c_int64, u8]
     lib.leave_one_out.restype = ctypes.c_int64
@@ -73,6 +79,21 @@ def sort_edges_by_dst(src, dst, num_nodes):
         return np.lexsort((src, dst))
     order = np.empty(src.shape[0], dtype=np.int64)
     lib.sort_edges_by_dst(_p64(src), _p64(dst), src.shape[0], num_nodes, _p64(order))
+    return order
+
+
+def sort_edges_block(src, dst, num_nodes, block=128):
+    """(dst // block, src, dst) sort permutation — the kernel block order
+    (graph.py module docstring); native O(E+N) or np.lexsort fallback."""
+    src = np.ascontiguousarray(src, dtype=np.int64)
+    dst = np.ascontiguousarray(dst, dtype=np.int64)
+    lib = _load()
+    if lib is None or not hasattr(lib, "sort_edges_block"):
+        return np.lexsort((dst, src, dst // block))
+    order = np.empty(src.shape[0], dtype=np.int64)
+    lib.sort_edges_block(
+        _p64(src), _p64(dst), src.shape[0], num_nodes, block, _p64(order)
+    )
     return order
 
 

@@ -47,6 +47,21 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+def _block_chunk_bounds(dst, n_blocks, chunk):
+    """Per-row-block [first_chunk, last_chunk) ranges.
+
+    Edge lists are *block-monotone*: `dst // _R` is non-decreasing (true both
+    for fully dst-sorted lists and for the (dst//_R, src) block order that
+    graph.py emits so src gathers are window-local).  A plain searchsorted on
+    `dst` would be wrong under block order, so bound chunks via the sorted
+    block ids instead."""
+    blk = (dst // _R).astype(jnp.int32)
+    blocks = jnp.arange(n_blocks, dtype=jnp.int32)
+    e_lo = jnp.searchsorted(blk, blocks, side="left").astype(jnp.int32)
+    e_hi = jnp.searchsorted(blk, blocks, side="right").astype(jnp.int32)
+    return jnp.stack([e_lo // chunk, _cdiv(e_hi, chunk)], axis=1)
+
+
 def _make_segsum_kernel(chunk, msg_dtype):
     """Kernel factory.  f32 transport uses precision=HIGHEST (TPU default
     would decompose f32 matmuls through bf16, losing ~3 mantissa bits per
@@ -142,10 +157,7 @@ def _pallas_forward(msgs, dst, num_rows, interpret, transport="f32", chunk=None)
     if e_pad != e:
         dst = jnp.pad(dst, (0, e_pad - e), constant_values=num_rows)
 
-    row_starts = jnp.arange(n_blocks, dtype=dst.dtype) * _R
-    e_lo = jnp.searchsorted(dst, row_starts, side="left").astype(jnp.int32)
-    e_hi = jnp.searchsorted(dst, row_starts + _R, side="left").astype(jnp.int32)
-    chunk_bounds = jnp.stack([e_lo // chunk, _cdiv(e_hi, chunk)], axis=1)
+    chunk_bounds = _block_chunk_bounds(dst, n_blocks, chunk)
 
     itemsize = 2 if msg_dtype == jnp.bfloat16 else 4
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -197,9 +209,10 @@ def _fwd(msgs, dst, num_rows, interpret, transport):
 
 def _bwd(num_rows, interpret, transport, res, g):
     dst, dtype_probe = res
-    # d/dmsgs of segment-sum is a row gather; padding edges get zero.
-    safe_dst = jnp.minimum(dst, num_rows - 1)
-    g_msgs = jnp.where((dst < num_rows)[:, None], g[safe_dst], 0.0)
+    # d/dmsgs of segment-sum is a row gather; padding edges get zero (the
+    # localized-gather kernel reads the zero pad row for the sentinel, the
+    # XLA fallback masks explicitly).  dst is block-monotone -> window-local.
+    g_msgs = sorted_broadcast_auto(g, dst, num_rows)
     return (g_msgs.astype(dtype_probe.dtype), None)
 
 
@@ -279,10 +292,7 @@ def _softmax_stats(alpha, dst, num_rows, interpret=False):
         alpha = jnp.pad(alpha, (0, e_pad - e))
         dst = jnp.pad(dst, (0, e_pad - e), constant_values=num_rows)
 
-    row_starts = jnp.arange(n_blocks, dtype=dst.dtype) * _R
-    e_lo = jnp.searchsorted(dst, row_starts, side="left").astype(jnp.int32)
-    e_hi = jnp.searchsorted(dst, row_starts + _R, side="left").astype(jnp.int32)
-    chunk_bounds = jnp.stack([e_lo // _CS, _cdiv(e_hi, _CS)], axis=1)
+    chunk_bounds = _block_chunk_bounds(dst, n_blocks, _CS)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -359,20 +369,34 @@ segment_softmax_pallas.defvjp(_softmax_fwd, _softmax_bwd)
 
 
 # ------------------------------------------------------------------
-# Sorted-broadcast: out[e] = v[dst[e]] for dst sorted ascending.
+# Localized gather: out[e] = v[idx[e]] for *window-local* idx — every edge
+# chunk's indices span few 128-row windows.  True for dst under either edge
+# order graph.py emits (fully sorted, or (dst//128, src) block order) and
+# for src under block order.
 #
 # XLA lowers 1-D / narrow-row gathers to a serial scalar loop on TPU
 # (~1.4 GB/s measured on the GAT attention path — tools/profile_step.py);
 # this kernel instead streams the edge list in chunks and resolves each
-# chunk against a small window of v rows with an exact one-hot MXU matmul
-# (each edge matches exactly one row, so no accumulation rounding).  The
-# backward of a broadcast is a sorted segment-sum — the MXU kernel above.
+# chunk against its row windows with an exact one-hot MXU matmul (each edge
+# matches exactly one row, so no accumulation rounding).  Correct for ANY
+# index array (windows come from per-chunk min/max) — locality only buys
+# speed.  The backward of a gather is a segment-sum keyed by idx.
 
 _BR = 128  # v-row window (lane-aligned so dynamic window DMAs are legal)
 _BC = 2048  # edge chunk
 
 
-def _make_broadcast_kernel(chunk, k_pad):
+def _make_broadcast_kernel(chunk, k_pad, v_dtype):
+    # One-hot row selection is exact in any dtype (one 1.0 x v product per
+    # output element, f32 accumulate); bf16 tables ride the native 1-pass
+    # MXU matmul, f32 tables need HIGHEST so the bf16x6 decomposition
+    # reconstructs full f32 products.
+    precision = (
+        jax.lax.Precision.DEFAULT
+        if v_dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+
     def _kernel(meta_ref, v_hbm, dst_ref, out_ref, v_buf, sems):
         j = pl.program_id(0)
         row0_blk = meta_ref[j, 0]  # window start in _BR units (alignment proof)
@@ -391,21 +415,35 @@ def _make_broadcast_kernel(chunk, k_pad):
                 jax.lax.broadcasted_iota(jnp.int32, (_BR, chunk), dimension=0)
                 + start
             )
-            oh = (col_dst == row_ids).astype(jnp.float32)  # [R, C]
+            oh = (col_dst == row_ids).astype(v_dtype)  # [R, C]
             # [K, R] @ [R, C]: one nonzero per column -> exact row select
             return acc + jax.lax.dot_general(
                 v_buf[:],
                 oh,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=precision,
             )
 
         out_ref[:] = jax.lax.fori_loop(
             0, n_win, body, jnp.zeros((k_pad, chunk), jnp.float32)
-        )
+        ).astype(v_dtype)
 
     return _kernel
+
+
+def _chunk_window_meta(idx, n_chunks, chunk, num_rows):
+    """Per-chunk [first_window, n_windows] over 128-row windows of v.
+
+    Padding lanes (idx == num_rows) are excluded from the min so a chunk of
+    real rows + sentinel padding doesn't blow its window span; all-padding
+    chunks degenerate to one window at the sentinel row (zero pad region)."""
+    by_chunk = idx.reshape(n_chunks, chunk)
+    lo = jnp.min(jnp.where(by_chunk >= num_rows, num_rows, by_chunk), axis=1)
+    hi = jnp.max(by_chunk, axis=1)
+    row0_blk = lo // _BR
+    n_win = _cdiv(hi + 1 - row0_blk * _BR, _BR)
+    return jnp.stack([row0_blk, n_win], axis=1).astype(jnp.int32)
 
 
 def _broadcast_forward(v, dst, num_rows, interpret):
@@ -413,8 +451,9 @@ def _broadcast_forward(v, dst, num_rows, interpret):
     if squeeze:
         v = v[:, None]
     n, k = v.shape
-    k_pad = 8
-    assert k <= k_pad, "sorted_broadcast supports K <= 8 columns"
+    k_pad = max(8, _cdiv(k, 8) * 8)
+    assert k <= 128, "localized gather supports K <= 128 columns"
+    v_dtype = jnp.bfloat16 if v.dtype == jnp.bfloat16 else jnp.float32
     e = dst.shape[0]
     e_pad = _cdiv(e, _BC) * _BC
     n_chunks = e_pad // _BC
@@ -422,20 +461,16 @@ def _broadcast_forward(v, dst, num_rows, interpret):
     # _BR rows; pad so every window stays in bounds
     n_pad = _cdiv(num_rows + 1, _BR) * _BR + _BR
 
-    v_t = jnp.zeros((k_pad, n_pad), jnp.float32).at[:k, :n].set(
-        v.astype(jnp.float32).T
+    v_t = jnp.zeros((k_pad, n_pad), v_dtype).at[:k, :n].set(
+        v.astype(v_dtype).T
     )
     if e_pad != e:
         dst = jnp.pad(dst, (0, e_pad - e), constant_values=num_rows)
     dst = dst.astype(jnp.int32)
 
-    by_chunk = dst.reshape(n_chunks, _BC)
-    first = by_chunk[:, 0]
-    last = by_chunk[:, -1]
-    row0_blk = first // _BR  # window start in _BR units
-    n_win = _cdiv(last + 1 - row0_blk * _BR, _BR)
-    meta = jnp.stack([row0_blk, n_win], axis=1)
+    meta = _chunk_window_meta(dst, n_chunks, _BC, num_rows)
 
+    itemsize = 2 if v_dtype == jnp.bfloat16 else 4
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_chunks,),
@@ -444,21 +479,21 @@ def _broadcast_forward(v, dst, num_rows, interpret):
             pl.BlockSpec((1, _BC), lambda j, *_: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (8, _BC), lambda j, *_: (0, j), memory_space=pltpu.VMEM
+            (k_pad, _BC), lambda j, *_: (0, j), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((k_pad, _BR), jnp.float32),
+            pltpu.VMEM((k_pad, _BR), v_dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
     out = pl.pallas_call(
-        _make_broadcast_kernel(_BC, k_pad),
+        _make_broadcast_kernel(_BC, k_pad, v_dtype),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((k_pad, e_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((k_pad, e_pad), v_dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * _BR * e_pad * k_pad,
-            bytes_accessed=e_pad * (4 + 4 * k_pad) + n_pad * 4 * k_pad,
+            bytes_accessed=e_pad * (4 + 4 * k_pad) + n_pad * itemsize * k_pad,
             transcendentals=0,
         ),
     )(meta, v_t, dst.reshape(1, -1))
@@ -468,9 +503,10 @@ def _broadcast_forward(v, dst, num_rows, interpret):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def sorted_broadcast_pallas(v, dst, num_rows, interpret=False):
-    """out[e] = v[dst[e]] for ascending `dst`; v: f32[N] or f32[N, K<=8].
-    Padding edges (dst == num_rows) read the zero pad row.  Backward is the
-    sorted segment-sum MXU kernel."""
+    """out[e] = v[dst[e]] for window-local `dst` (any order is CORRECT;
+    locality is the speed contract); v: [N] or [N, K<=128], f32 or bf16.
+    Padding edges (dst == num_rows) read the zero pad row.  Backward is a
+    segment-sum keyed by dst (MXU kernel when dst is block-monotone)."""
     return _broadcast_forward(v, dst, num_rows, interpret)
 
 
@@ -488,6 +524,118 @@ def _bc_bwd(num_rows, interpret, res, g):
 sorted_broadcast_pallas.defvjp(_bc_fwd, _bc_bwd)
 
 
+# ------------------------------------------------------------------
+# Localized scatter-add: out[i] = sum_{e: idx[e]==i} ct[e] with the WHOLE
+# output table resident in VMEM (node tables here are a few MB — 15k rows).
+#
+# This is the transpose of the localized gather and replaces the backward
+# path `segment_sum(ct[perm], idx_sorted)` whose E->E permutation gather was
+# the single hottest op of the fused PEAGAT step (5.3ms of a 17.8ms step,
+# 8.5 GB/s — tools/profile_step.py).  Grid walks edge chunks sequentially
+# (TPU grid semantics), each chunk one-hot-matmuls into its idx windows of
+# the VMEM accumulator; no permutation, no HBM round-trips.  Correct for
+# ANY idx array; the (dst//128, src) block order makes chunks window-local.
+
+_SC = 1024  # scatter edge chunk
+
+
+def _make_scatter_kernel(chunk, k_pad, ct_dtype):
+    precision = (
+        jax.lax.Precision.DEFAULT
+        if ct_dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+
+    def _kernel(meta_ref, ct_ref, idx_ref, out_ref):
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        win0 = meta_ref[j, 0]
+        n_win = meta_ref[j, 1]
+        col_idx = idx_ref[:]  # [1, C]
+
+        def body(w, _):
+            start = (win0 + w) * _BR
+            row_ids = (
+                jax.lax.broadcasted_iota(jnp.int32, (_BR, chunk), dimension=0)
+                + start
+            )
+            oh = (col_idx == row_ids).astype(ct_dtype)  # [R, C]
+            # [R, C] . [C, K]: sum of this chunk's messages into window rows
+            contrib = jax.lax.dot_general(
+                oh,
+                ct_ref[:],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+            out_ref[pl.ds(start, _BR), :] += contrib
+            return ()
+
+        jax.lax.fori_loop(0, n_win, body, (), unroll=False)
+
+    return _kernel
+
+
+def localized_scatter_add_pallas(ct, idx, num_rows, interpret=False, transport="f32"):
+    """Segment-sum `ct[E, K]` by `idx[E]` into `[num_rows, K]` with a
+    VMEM-resident accumulator; `idx` needs NO ordering (window metadata is
+    per-chunk min/max — locality only buys speed).  Padding edges must carry
+    zero ct (the same invariant the perm-gather backward relied on).
+    Requires num_rows_pad * K_pad * 4B to fit VMEM — gate via
+    `scatter_fits_vmem`."""
+    e, k = ct.shape
+    k_pad = max(8, _cdiv(k, 8) * 8)
+    ct_dtype = jnp.bfloat16 if transport == "bf16" else jnp.float32
+    e_pad = _cdiv(e, _SC) * _SC
+    n_chunks = e_pad // _SC
+    n_pad = _cdiv(num_rows + 1, _BR) * _BR
+
+    ct_t = ct.astype(ct_dtype).T  # [K, E]
+    if k_pad != k or e_pad != e:
+        ct_t = jnp.pad(ct_t, ((0, k_pad - k), (0, e_pad - e)))
+    if e_pad != e:
+        idx = jnp.pad(idx, (0, e_pad - e), constant_values=num_rows)
+    idx = idx.astype(jnp.int32)
+
+    meta = _chunk_window_meta(idx, n_chunks, _SC, num_rows)
+
+    itemsize = 2 if ct_dtype == jnp.bfloat16 else 4
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((k_pad, _SC), lambda j, *_: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _SC), lambda j, *_: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (n_pad, k_pad), lambda j, *_: (0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    out = pl.pallas_call(
+        _make_scatter_kernel(_SC, k_pad, ct_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, k_pad), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * _BR * e_pad * k_pad,
+            bytes_accessed=e_pad * (4 + itemsize * k_pad) + n_pad * 4 * k_pad,
+            transcendentals=0,
+        ),
+    )(meta, ct_t, idx.reshape(1, -1))
+    return out[:num_rows, :k]
+
+
+def scatter_fits_vmem(num_rows, k, budget_bytes=6 * 1024 * 1024):
+    """Whether the scatter kernel's VMEM accumulator fits comfortably."""
+    k_pad = max(8, _cdiv(k, 8) * 8)
+    n_pad = _cdiv(num_rows + 1, _BR) * _BR
+    return n_pad * k_pad * 4 <= budget_bytes
+
+
 def sorted_broadcast_auto(v, dst, num_rows, indices_are_sorted=True, use_pallas=None):
     """Dispatch v[dst] for sorted dst: Pallas broadcast kernel on TPU for
     narrow v (where XLA's scalar-loop gather pathology bites), XLA gather
@@ -497,8 +645,8 @@ def sorted_broadcast_auto(v, dst, num_rows, indices_are_sorted=True, use_pallas=
     k = 1 if v.ndim == 1 else v.shape[1]
     use_pallas = _cfg.resolve(
         use_pallas,
-        _on_tpu() and indices_are_sorted and k <= 8 and dst.shape[0] >= 65536,
-    ) and (indices_are_sorted and k <= 8)
+        _on_tpu() and indices_are_sorted and k <= 128 and dst.shape[0] >= 65536,
+    ) and (indices_are_sorted and k <= 128)
     if use_pallas:
         return sorted_broadcast_pallas(v, dst, num_rows)
     safe = jnp.minimum(dst, num_rows - 1)
@@ -520,7 +668,8 @@ def segment_softmax_auto(alpha, dst, num_rows, indices_are_sorted=True, use_pall
     if not use_pallas:
         from .segment import segment_softmax
 
-        return segment_softmax(alpha, dst, num_rows, indices_are_sorted)
+        # block order is not full sortedness — never claim it to XLA
+        return segment_softmax(alpha, dst, num_rows, indices_are_sorted=False)
     if alpha.ndim == 1:
         return segment_softmax_pallas(alpha, dst, num_rows)
     heads = [
@@ -562,6 +711,6 @@ def segment_sum_auto(msgs, dst, num_rows, indices_are_sorted=True, use_pallas=No
         # XLA fallback accumulates in the message dtype; keep f32 accumulation
         # (the Pallas path always accumulates f32)
         msgs = msgs.astype(jnp.float32)
-    return jax.ops.segment_sum(
-        msgs, dst, num_segments=num_rows, indices_are_sorted=indices_are_sorted
-    )
+    # `indices_are_sorted` here means "block-monotone" (kernel eligibility);
+    # that is weaker than XLA's sorted contract, so never claim it to XLA.
+    return jax.ops.segment_sum(msgs, dst, num_segments=num_rows)

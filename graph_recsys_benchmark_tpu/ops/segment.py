@@ -3,9 +3,10 @@
 These are the TPU-native replacement for the `torch-scatter` CUDA kernels the
 reference implicitly relies on inside every PyG ``MessagePassing.propagate``
 call (reference: graph_recsys_benchmark/nn/*.py and the PyG convs imported by
-models/pea*.py).  All graph tensors in this framework are sorted by
-destination node and padded to static shapes, so every call below can pass
-``indices_are_sorted=True`` and XLA lowers the scatter efficiently.
+models/pea*.py).  Graph tensors in this framework follow (dst//128, src)
+block order (graph.py) — dst is block-monotone but NOT fully sorted, so the
+defaults never claim ``indices_are_sorted``; pass True only for ids you know
+are strictly non-decreasing (e.g. StepGraph.src_sorted).
 
 ``segment_softmax`` reproduces PyG's scatter-softmax
 (torch_geometric.utils.softmax, used by GATConv and by the KGAT/KGCN
@@ -21,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 
-def segment_sum(data, segment_ids, num_segments, indices_are_sorted=True):
+def segment_sum(data, segment_ids, num_segments, indices_are_sorted=False):
     """Sum `data` rows into `num_segments` buckets keyed by `segment_ids`."""
     return jax.ops.segment_sum(
         data,
@@ -31,7 +32,7 @@ def segment_sum(data, segment_ids, num_segments, indices_are_sorted=True):
     )
 
 
-def segment_max(data, segment_ids, num_segments, indices_are_sorted=True):
+def segment_max(data, segment_ids, num_segments, indices_are_sorted=False):
     """Max-reduce; empty segments produce -inf (float) / iinfo.min (int)."""
     return jax.ops.segment_max(
         data,
@@ -41,7 +42,7 @@ def segment_max(data, segment_ids, num_segments, indices_are_sorted=True):
     )
 
 
-def segment_mean(data, segment_ids, num_segments, indices_are_sorted=True):
+def segment_mean(data, segment_ids, num_segments, indices_are_sorted=False):
     """Mean-reduce; empty segments produce 0 (PyG `aggr='mean'` semantics)."""
     total = segment_sum(data, segment_ids, num_segments, indices_are_sorted)
     ones = jnp.ones(data.shape[:1], dtype=data.dtype)
@@ -50,7 +51,7 @@ def segment_mean(data, segment_ids, num_segments, indices_are_sorted=True):
     return total / count.reshape((-1,) + (1,) * (data.ndim - 1))
 
 
-def segment_softmax(logits, segment_ids, num_segments, indices_are_sorted=True):
+def segment_softmax(logits, segment_ids, num_segments, indices_are_sorted=False):
     """Per-segment softmax over edge logits (PyG `softmax` parity, incl. the
     +1e-16 denominator guard).
 

@@ -94,16 +94,13 @@ def make_sharded_softmax(axis: str):
     def softmax(alpha, dst, num_rows, indices_are_sorted=True, use_pallas=None):
         # softmax is shift-invariant, so the max stat carries no gradient
         # (pmax has no AD rule anyway)
-        lmax = segment_max(
-            jax.lax.stop_gradient(alpha), dst, num_rows, indices_are_sorted
-        )
+        # shard dst is block-monotone, not sorted — never claim sortedness
+        lmax = segment_max(jax.lax.stop_gradient(alpha), dst, num_rows)
         gmax = jax.lax.pmax(lmax, axis)
         gmax_safe = jnp.where(jnp.isfinite(gmax), gmax, 0.0)
         shifted = alpha - gmax_safe[jnp.minimum(dst, num_rows - 1)]
         expd = jnp.exp(shifted)
-        gsum = jax.lax.psum(
-            segment_sum(expd, dst, num_rows, indices_are_sorted), axis
-        )
+        gsum = jax.lax.psum(segment_sum(expd, dst, num_rows), axis)
         return expd / (gsum[jnp.minimum(dst, num_rows - 1)] + 1e-16)
 
     return softmax

@@ -45,6 +45,35 @@ void sort_edges_by_dst(const int64_t* src, const int64_t* dst, int64_t num_edges
   std::memcpy(out_order, by_dst.data(), sizeof(int64_t) * num_edges);
 }
 
+// Stable counting-sort of edges by (dst / block, src): the "block order"
+// the TPU kernels want — dst/block non-decreasing (bounds each 128-row
+// output block's edge chunks) with src ascending within a block (makes
+// every edge chunk's sources window-local for the gather/scatter MXU
+// kernels).  out_order receives the permutation; O(E + N).
+void sort_edges_block(const int64_t* src, const int64_t* dst, int64_t num_edges,
+                      int64_t num_nodes, int64_t block, int64_t* out_order) {
+  const int64_t num_blocks = (num_nodes + block - 1) / block + 1;
+  std::vector<int64_t> count(static_cast<size_t>(num_blocks) + 1, 0);
+  for (int64_t e = 0; e < num_edges; ++e) count[dst[e] / block + 1]++;
+  std::partial_sum(count.begin(), count.end(), count.begin());
+  std::vector<int64_t> by_blk(num_edges);
+  {
+    std::vector<int64_t> cur(count.begin(), count.end());
+    for (int64_t e = 0; e < num_edges; ++e) by_blk[cur[dst[e] / block]++] = e;
+  }
+  // within each block bucket: order by (src, dst, e) for determinism
+  for (int64_t b = 0; b < num_blocks; ++b) {
+    int64_t lo = count[b], hi = count[b + 1];
+    std::sort(by_blk.begin() + lo, by_blk.begin() + hi,
+              [&](int64_t a, int64_t c) {
+                if (src[a] != src[c]) return src[a] < src[c];
+                if (dst[a] != dst[c]) return dst[a] < dst[c];
+                return a < c;
+              });
+  }
+  std::memcpy(out_order, by_blk.data(), sizeof(int64_t) * num_edges);
+}
+
 // CSR over source: rowptr[num_src+1], col[num_edges] (counting sort, O(E+N)).
 void build_csr(const int64_t* src, const int64_t* dst, int64_t num_edges,
                int64_t num_src, int64_t* rowptr, int64_t* col) {

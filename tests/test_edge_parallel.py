@@ -55,11 +55,13 @@ def test_shard_step_graph_partitions_edges(setup):
     g = fused[0]
     sg = shard_step_graph(g, 4)
     assert sg.src.shape[0] == 4
-    # every real edge appears exactly once; shard-local dst stays sorted
+    # every real edge appears exactly once; shard-local dst stays
+    # block-monotone (graph.py block order survives contiguous slicing)
     dst = np.asarray(sg.dst)
     w = np.asarray(sg.w)
     for s in range(4):
-        assert np.all(np.diff(dst[s]) >= 0)
+        real = w[s] != 0
+        assert np.all(np.diff(dst[s][real] // 128) >= 0)
     total_real = int((w != 0).sum())
     assert total_real == int((np.asarray(g.w) != 0).sum())
 
