@@ -78,14 +78,24 @@ def bench_fused(trainer, epochs=2):
 def main():
     from graph_recsys_benchmark_tpu.ops import config as ops_config
 
+    # Flagship config: bf16 message transport (gathers + segment reductions
+    # move bf16 through HBM/MXU with f32 accumulation).  Training quality is
+    # unchanged vs f32 (tools/smoke_train.py: same losses to 3 digits, same
+    # HR@10 band; PARITY.md) — the reference-parity f32 path stays the
+    # library default.
+    ops_config.SEGSUM_TRANSPORT = "bf16"
     trainer, hin = build()
     fused_eps, last_loss = bench_fused(trainer)
 
-    # stock-XLA baseline: identical epoch program, custom kernels disabled
+    # stock-XLA baseline: identical epoch program in the stock numerics —
+    # f32 messages, XLA scatter/gather lowering, no custom kernels (what a
+    # straight port of the reference's torch-scatter pipeline would run).
     ops_config.FORCE_PALLAS = False
+    ops_config.SEGSUM_TRANSPORT = "f32"
     xla_trainer, _ = build()
     xla_eps, _ = bench_fused(xla_trainer, epochs=1)
     ops_config.FORCE_PALLAS = None
+    ops_config.SEGSUM_TRANSPORT = "f32"
 
     print(
         json.dumps(

@@ -212,7 +212,7 @@ def _bwd(num_rows, interpret, transport, res, g):
     # d/dmsgs of segment-sum is a row gather; padding edges get zero (the
     # localized-gather kernel reads the zero pad row for the sentinel, the
     # XLA fallback masks explicitly).  dst is block-monotone -> window-local.
-    g_msgs = sorted_broadcast_auto(g, dst, num_rows)
+    g_msgs = sorted_broadcast_auto(g, dst, num_rows, exact=False)
     return (g_msgs.astype(dtype_probe.dtype), None)
 
 
@@ -361,7 +361,7 @@ def _softmax_bwd(num_rows, interpret, res, g):
     # the sorted MXU kernel and the per-edge readback rides the broadcast
     # kernel (not XLA's scalar-loop gather).
     s = sorted_segment_sum_pallas((att * g)[:, None], dst, num_rows, interpret)[:, 0]
-    s_e = sorted_broadcast_pallas(s, dst, num_rows, interpret)
+    s_e = sorted_broadcast_pallas(s, dst, num_rows, interpret, False)
     return (att * (g - s_e), None)
 
 
@@ -386,14 +386,15 @@ _BR = 128  # v-row window (lane-aligned so dynamic window DMAs are legal)
 _BC = 2048  # edge chunk
 
 
-def _make_broadcast_kernel(chunk, k_pad, v_dtype):
+def _make_broadcast_kernel(chunk, k_pad, v_dtype, exact):
     # One-hot row selection is exact in any dtype (one 1.0 x v product per
     # output element, f32 accumulate); bf16 tables ride the native 1-pass
-    # MXU matmul, f32 tables need HIGHEST so the bf16x6 decomposition
-    # reconstructs full f32 products.
+    # MXU matmul.  f32 tables need HIGHEST (bf16x6) for bit-faithful f32
+    # products; gradient readbacks pass exact=False and take the 2x-faster
+    # bf16x3 DEFAULT (~2^-21 relative error — far below SGD noise).
     precision = (
         jax.lax.Precision.DEFAULT
-        if v_dtype == jnp.bfloat16
+        if (v_dtype == jnp.bfloat16 or not exact)
         else jax.lax.Precision.HIGHEST
     )
 
@@ -446,7 +447,7 @@ def _chunk_window_meta(idx, n_chunks, chunk, num_rows):
     return jnp.stack([row0_blk, n_win], axis=1).astype(jnp.int32)
 
 
-def _broadcast_forward(v, dst, num_rows, interpret):
+def _broadcast_forward(v, dst, num_rows, interpret, exact=True):
     squeeze = v.ndim == 1
     if squeeze:
         v = v[:, None]
@@ -487,7 +488,7 @@ def _broadcast_forward(v, dst, num_rows, interpret):
         ],
     )
     out = pl.pallas_call(
-        _make_broadcast_kernel(_BC, k_pad, v_dtype),
+        _make_broadcast_kernel(_BC, k_pad, v_dtype, exact),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((k_pad, e_pad), v_dtype),
         interpret=interpret,
@@ -501,20 +502,21 @@ def _broadcast_forward(v, dst, num_rows, interpret):
     return out[:, 0] if squeeze else out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def sorted_broadcast_pallas(v, dst, num_rows, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def sorted_broadcast_pallas(v, dst, num_rows, interpret=False, exact=True):
     """out[e] = v[dst[e]] for window-local `dst` (any order is CORRECT;
     locality is the speed contract); v: [N] or [N, K<=128], f32 or bf16.
     Padding edges (dst == num_rows) read the zero pad row.  Backward is a
-    segment-sum keyed by dst (MXU kernel when dst is block-monotone)."""
-    return _broadcast_forward(v, dst, num_rows, interpret)
+    segment-sum keyed by dst (MXU kernel when dst is block-monotone).
+    exact=False allows bf16x3 products on f32 tables (gradient paths)."""
+    return _broadcast_forward(v, dst, num_rows, interpret, exact)
 
 
-def _bc_fwd(v, dst, num_rows, interpret):
-    return _broadcast_forward(v, dst, num_rows, interpret), (dst, v.ndim)
+def _bc_fwd(v, dst, num_rows, interpret, exact):
+    return _broadcast_forward(v, dst, num_rows, interpret, exact), (dst, v.ndim)
 
 
-def _bc_bwd(num_rows, interpret, res, g):
+def _bc_bwd(num_rows, interpret, exact, res, g):
     dst, v_ndim = res
     g2 = g[:, None] if v_ndim == 1 else g
     gv = segment_sum_auto(g2, dst, num_rows)
@@ -540,11 +542,10 @@ _SC = 1024  # scatter edge chunk
 
 
 def _make_scatter_kernel(chunk, k_pad, ct_dtype):
-    precision = (
-        jax.lax.Precision.DEFAULT
-        if ct_dtype == jnp.bfloat16
-        else jax.lax.Precision.HIGHEST
-    )
+    # Scatter-add only serves gradient accumulation (gather backward), so
+    # f32 cotangents take the bf16x3 DEFAULT (~2^-21 relative per product,
+    # f32 accumulate) — half the MXU passes of HIGHEST.
+    precision = jax.lax.Precision.DEFAULT
 
     def _kernel(meta_ref, ct_ref, idx_ref, out_ref):
         j = pl.program_id(0)
@@ -636,9 +637,10 @@ def scatter_fits_vmem(num_rows, k, budget_bytes=6 * 1024 * 1024):
     return n_pad * k_pad * 4 <= budget_bytes
 
 
-def sorted_broadcast_auto(v, dst, num_rows, indices_are_sorted=True, use_pallas=None):
-    """Dispatch v[dst] for sorted dst: Pallas broadcast kernel on TPU for
-    narrow v (where XLA's scalar-loop gather pathology bites), XLA gather
+def sorted_broadcast_auto(v, dst, num_rows, indices_are_sorted=True, use_pallas=None,
+                          exact=True):
+    """Dispatch v[dst] for window-local dst: Pallas localized-gather kernel
+    on TPU (where XLA's serial-loop gather pathology bites), XLA gather
     elsewhere."""
     from . import config as _cfg
 
@@ -648,7 +650,7 @@ def sorted_broadcast_auto(v, dst, num_rows, indices_are_sorted=True, use_pallas=
         _on_tpu() and indices_are_sorted and k <= 128 and dst.shape[0] >= 65536,
     ) and (indices_are_sorted and k <= 128)
     if use_pallas:
-        return sorted_broadcast_pallas(v, dst, num_rows)
+        return sorted_broadcast_pallas(v, dst, num_rows, False, exact)
     safe = jnp.minimum(dst, num_rows - 1)
     pad_zero = (dst < num_rows)
     out = v[safe]
