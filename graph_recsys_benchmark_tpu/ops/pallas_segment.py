@@ -356,11 +356,16 @@ def _softmax_fwd(alpha, dst, num_rows, interpret):
 
 
 def _softmax_bwd(num_rows, interpret, res, g):
+    from . import config as _cfg
+
     att, dst = res
     # d alpha_e = att_e * (g_e - sum_seg(att * g)); the segment-sum rides
-    # the sorted MXU kernel and the per-edge readback rides the broadcast
-    # kernel (not XLA's scalar-loop gather).
-    s = sorted_segment_sum_pallas((att * g)[:, None], dst, num_rows, interpret)[:, 0]
+    # the MXU kernel (in the configured gradient transport — bf16 halves
+    # the DMA bytes and runs 1 MXU pass) and the per-edge readback rides
+    # the localized-gather kernel (not XLA's serial-loop gather).
+    s = sorted_segment_sum_pallas(
+        (att * g)[:, None], dst, num_rows, interpret, _cfg.SEGSUM_TRANSPORT
+    )[:, 0]
     s_e = sorted_broadcast_pallas(s, dst, num_rows, interpret, False)
     return (att * (g - s_e), None)
 
@@ -405,13 +410,33 @@ def _make_broadcast_kernel(chunk, k_pad, v_dtype, exact):
 
         col_dst = dst_ref[:]  # [1, C] (auto-pipelined block)
 
+        # double-buffered window DMAs: narrow-K windows are tiny (4-32KB),
+        # so without prefetch the loop is DMA-latency-bound
+        def start_dma(w, slot):
+            pltpu.make_async_copy(
+                v_hbm.at[:, pl.ds((row0_blk + w) * _BR, _BR)],
+                v_buf.at[slot],
+                sems.at[slot],
+            ).start()
+
+        def wait_dma(w, slot):
+            pltpu.make_async_copy(
+                v_hbm.at[:, pl.ds((row0_blk + w) * _BR, _BR)],
+                v_buf.at[slot],
+                sems.at[slot],
+            ).wait()
+
+        start_dma(0, 0)
+
         def body(w, acc):
+            slot = jax.lax.rem(w, 2)
+
+            @pl.when(w + 1 < n_win)
+            def _():
+                start_dma(w + 1, jax.lax.rem(w + 1, 2))
+
+            wait_dma(w, slot)
             start = (row0_blk + w) * _BR
-            cp = pltpu.make_async_copy(
-                v_hbm.at[:, pl.ds(start, _BR)], v_buf, sems
-            )
-            cp.start()
-            cp.wait()
             row_ids = (
                 jax.lax.broadcasted_iota(jnp.int32, (_BR, chunk), dimension=0)
                 + start
@@ -419,7 +444,7 @@ def _make_broadcast_kernel(chunk, k_pad, v_dtype, exact):
             oh = (col_dst == row_ids).astype(v_dtype)  # [R, C]
             # [K, R] @ [R, C]: one nonzero per column -> exact row select
             return acc + jax.lax.dot_general(
-                v_buf[:],
+                v_buf[slot],
                 oh,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -483,8 +508,8 @@ def _broadcast_forward(v, dst, num_rows, interpret, exact=True):
             (k_pad, _BC), lambda j, *_: (0, j), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((k_pad, _BR), v_dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, k_pad, _BR), v_dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
