@@ -388,7 +388,21 @@ segment_softmax_pallas.defvjp(_softmax_fwd, _softmax_bwd)
 # speed.  The backward of a gather is a segment-sum keyed by idx.
 
 _BR = 128  # v-row window (lane-aligned so dynamic window DMAs are legal)
-_BC = 2048  # edge chunk
+
+
+def _edge_chunk(k_pad):
+    """Gather edge-chunk size.  Measured on v5e at bench scale (662k edges,
+    15k rows): 2048 beats 1024/4096/8192 for K=8 f32 and K=24 bf16 alike —
+    larger chunks widen each chunk's window span, and every window matmuls
+    the WHOLE chunk, so flops grow superlinearly past the locality limit."""
+    return 2048
+
+
+def _scatter_chunk(k_pad):
+    """Scatter edge-chunk size: 1024 measured fastest (same sweep) — the
+    read-modify-write of the VMEM accumulator serializes against the next
+    window's matmul, so smaller chunks pipeline better."""
+    return 1024
 
 
 def _make_broadcast_kernel(chunk, k_pad, v_dtype, exact):
@@ -481,8 +495,9 @@ def _broadcast_forward(v, dst, num_rows, interpret, exact=True):
     assert k <= 128, "localized gather supports K <= 128 columns"
     v_dtype = jnp.bfloat16 if v.dtype == jnp.bfloat16 else jnp.float32
     e = dst.shape[0]
-    e_pad = _cdiv(e, _BC) * _BC
-    n_chunks = e_pad // _BC
+    bc = _edge_chunk(k_pad)
+    e_pad = _cdiv(e, bc) * bc
+    n_chunks = e_pad // bc
     # v windows may start at any _BR-aligned row <= last real dst and read
     # _BR rows; pad so every window stays in bounds
     n_pad = _cdiv(num_rows + 1, _BR) * _BR + _BR
@@ -494,7 +509,7 @@ def _broadcast_forward(v, dst, num_rows, interpret, exact=True):
         dst = jnp.pad(dst, (0, e_pad - e), constant_values=num_rows)
     dst = dst.astype(jnp.int32)
 
-    meta = _chunk_window_meta(dst, n_chunks, _BC, num_rows)
+    meta = _chunk_window_meta(dst, n_chunks, bc, num_rows)
 
     itemsize = 2 if v_dtype == jnp.bfloat16 else 4
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -502,10 +517,10 @@ def _broadcast_forward(v, dst, num_rows, interpret, exact=True):
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # v_t stays in HBM
-            pl.BlockSpec((1, _BC), lambda j, *_: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bc), lambda j, *_: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (k_pad, _BC), lambda j, *_: (0, j), memory_space=pltpu.VMEM
+            (k_pad, bc), lambda j, *_: (0, j), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((2, k_pad, _BR), v_dtype),
@@ -513,7 +528,7 @@ def _broadcast_forward(v, dst, num_rows, interpret, exact=True):
         ],
     )
     out = pl.pallas_call(
-        _make_broadcast_kernel(_BC, k_pad, v_dtype, exact),
+        _make_broadcast_kernel(bc, k_pad, v_dtype, exact),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((k_pad, e_pad), v_dtype),
         interpret=interpret,
@@ -563,7 +578,6 @@ sorted_broadcast_pallas.defvjp(_bc_fwd, _bc_bwd)
 # the VMEM accumulator; no permutation, no HBM round-trips.  Correct for
 # ANY idx array; the (dst//128, src) block order makes chunks window-local.
 
-_SC = 1024  # scatter edge chunk
 
 
 def _make_scatter_kernel(chunk, k_pad, ct_dtype):
@@ -616,8 +630,9 @@ def localized_scatter_add_pallas(ct, idx, num_rows, interpret=False, transport="
     e, k = ct.shape
     k_pad = max(8, _cdiv(k, 8) * 8)
     ct_dtype = jnp.bfloat16 if transport == "bf16" else jnp.float32
-    e_pad = _cdiv(e, _SC) * _SC
-    n_chunks = e_pad // _SC
+    sc = _scatter_chunk(k_pad)
+    e_pad = _cdiv(e, sc) * sc
+    n_chunks = e_pad // sc
     n_pad = _cdiv(num_rows + 1, _BR) * _BR
 
     ct_t = ct.astype(ct_dtype).T  # [K, E]
@@ -627,22 +642,22 @@ def localized_scatter_add_pallas(ct, idx, num_rows, interpret=False, transport="
         idx = jnp.pad(idx, (0, e_pad - e), constant_values=num_rows)
     idx = idx.astype(jnp.int32)
 
-    meta = _chunk_window_meta(idx, n_chunks, _SC, num_rows)
+    meta = _chunk_window_meta(idx, n_chunks, sc, num_rows)
 
     itemsize = 2 if ct_dtype == jnp.bfloat16 else 4
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((k_pad, _SC), lambda j, *_: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _SC), lambda j, *_: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_pad, sc), lambda j, *_: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sc), lambda j, *_: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (n_pad, k_pad), lambda j, *_: (0, 0), memory_space=pltpu.VMEM
         ),
     )
     out = pl.pallas_call(
-        _make_scatter_kernel(_SC, k_pad, ct_dtype),
+        _make_scatter_kernel(sc, k_pad, ct_dtype),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, k_pad), jnp.float32),
         interpret=interpret,
