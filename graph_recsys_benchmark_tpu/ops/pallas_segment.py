@@ -1,30 +1,37 @@
-"""Pallas TPU kernel: sorted segment-sum as block one-hot matmuls on the MXU.
+"""Pallas TPU kernels: the edge pipeline as block one-hot MXU matmuls.
 
-This is the TPU-native replacement for the `torch-scatter` CUDA scatter-add
-that sits inside every PyG ``MessagePassing.propagate`` call of the reference
-(see SURVEY.md section 2.4).  Instead of translating scatter-add, we exploit
-that all edge lists in this framework are *sorted by destination* and
-*statically padded*:
+These are the TPU-native replacement for the `torch-scatter` CUDA kernels
+inside every PyG ``MessagePassing.propagate`` of the reference AND for
+XLA's serial-loop lowering of edge gathers (SURVEY.md section 2.4).  All
+edge lists are statically padded and follow graph.py's (dst//128, src)
+block order; every kernel matches node ids by VALUE, so ordering is purely
+a locality/speed contract, never a correctness one.
 
-  grid = row blocks of the output (R=128 destination nodes per program)
-  for each edge chunk (C=512 edges) overlapping the row block:
-      DMA the chunk's messages [D, C] and destinations [1, C] HBM -> VMEM
-      build the one-hot block matrix  OH[r, c] = (dst[c] == row0 + r)
-      acc[R, D] += OH . msgs^T       # dot_general contracting on C (MXU)
+Four kernels share one idea — resolve an edge chunk against a 128-row node
+window with a one-hot matmul, which is an exact row select/accumulate on
+the MXU:
 
-Messages live in HBM *feature-major* ([D, E]) so every manual DMA slices
-along the 128-lane axis in aligned C=512 chunks — Mosaic rejects slices
-whose minor dim isn't lane-aligned, which rules out the naive [E, D] layout
-for D = 64/16.  The wrapper transposes (XLA fuses this into the message
-producer) and pads D up to a sublane multiple of 8.
+  segment-sum   grid = 128-row output blocks; per edge chunk in the block's
+                range: acc[R, D] += OH_dst[R, C] . msgs[D, C]^T
+                (double-buffered feature-major DMA; scalar-prefetched
+                per-block chunk bounds from the sorted dst//128 ids)
+  softmax stats online (max, rescaled sum-of-exp) per destination row —
+                same loop, VPU reductions instead of matmuls
+  localized     out[e] = v[idx[e]]: grid = edge chunks; per chunk resolve
+  gather        against its idx min/max row windows: out[K, C] +=
+                v_win[K, R] . OH[R, C]  (double-buffered window DMA)
+  localized     out[i] = sum_{idx[e]==i} ct[e]: whole accumulator table
+  scatter-add   VMEM-resident (node tables here are a few MB); grid walks
+                edge chunks, acc[win] += OH[R, C] . ct[C, K] — this is the
+                gather backward with NO E->E permutation gather
 
-Per-row-block edge ranges are precomputed with a searchsorted and handed to
-the kernel via scalar prefetch, so each program only touches the chunks that
-can contain its rows.  Padding edges carry a destination sentinel == num_rows
-and therefore never match any row.
+Precision: one-hot row selection is exact in any dtype (single 1.0 x v
+product per output, f32 accumulate).  f32 message sums use HIGHEST (bf16x6)
+to stay bit-faithful; gradient-side kernels use DEFAULT (bf16x3); the bf16
+transport config halves HBM bytes and runs 1-pass MXU matmuls everywhere.
 
-The backward pass of segment-sum is a plain gather (`g[dst]`), which XLA
-already does well, so the custom VJP routes the backward through XLA.
+Padding edges carry a destination sentinel == num_rows (never matches an
+in-bounds row; gathers read a zeroed pad row) and zero cotangents/messages.
 """
 
 from __future__ import annotations
