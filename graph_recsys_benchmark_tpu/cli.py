@@ -50,6 +50,10 @@ def build_parser():
     p.add_argument("--num_neg_candidates", type=int, default=99)
     p.add_argument("--sampling_strategy", default=None)
     p.add_argument("--init_eval", default="true")
+    p.add_argument("--full_ranking", default="false",
+                   help="also report full-catalog ranking HR/NDCG at the end "
+                        "of each run (north-star extension of the "
+                        "99-negative protocol)")
     p.add_argument("--metapath_test", default="false")
     p.add_argument("--save_every_epoch", type=int, default=26)
     p.add_argument("--cache_dir", default=".hin_cache")
@@ -276,6 +280,7 @@ def main(argv=None):
         save_every_epoch=args.save_every_epoch,
         metapath_test=_bool(args.metapath_test) and args.model.startswith("PEA"),
         num_metapaths=num_metapaths,
+        full_ranking=_bool(args.full_ranking),
     )
     overall = solver.run()
     if overall:

@@ -95,6 +95,7 @@ class GraphEpochEngine:
 
         self._epoch_fn = jax.jit(self._epoch)
         self._eval_fn = jax.jit(self._evaluate)
+        self._eval_full_fn = jax.jit(self._evaluate_full)
 
     # ------------------------------------------------------------ state
 
@@ -222,3 +223,26 @@ class GraphEpochEngine:
         if metapath_idx is not None:
             mask[metapath_idx] = 0.0
         return self._eval_fn(params, key, jnp.asarray(mask))
+
+    def _evaluate_full(self, params, channel_mask):
+        from ..eval.full_ranking import evaluate_full_ranking
+
+        cached = self._eval_forward(params, channel_mask)
+
+        if self.mf_offsets is None:
+            def score(u, i):
+                return self._predict(params, cached, u, i)
+        else:
+            u_lo, i_lo = self.mf_offsets
+
+            def score(u, i):
+                return self._predict(params, cached, u - u_lo, i - i_lo)
+
+        return evaluate_full_ranking(score, self.tables)
+
+    def evaluate_full(self, params):
+        """Full-catalog ranking (every unseen item per test user) — the
+        north-star extension of the 99-negative protocol (BASELINE.json);
+        sharded dot-product sweep in user chunks."""
+        mask = np.ones(max(self.num_channels, 1), dtype=np.float32)
+        return self._eval_full_fn(params, jnp.asarray(mask))

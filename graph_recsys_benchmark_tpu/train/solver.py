@@ -44,6 +44,7 @@ class Solver:
         metapath_test=False,
         num_metapaths=0,
         seed_base=2019,
+        full_ranking=False,
     ):
         self.trainer = trainer
         self.out_dir = out_dir
@@ -55,6 +56,7 @@ class Solver:
         self.metapath_test = metapath_test
         self.num_metapaths = num_metapaths
         self.seed_base = seed_base
+        self.full_ranking = full_ranking and hasattr(trainer, "evaluate_full")
         self.logger = RunLogger(out_dir)
 
     def _history(self, rec_metrics):
@@ -127,6 +129,14 @@ class Solver:
                     )
                 if epoch > self.save_every_epoch:
                     save_checkpoint(latest, params, opt_state, epoch, hist)
+
+            if self.full_ranking:
+                mf = self.trainer.evaluate_full(params)
+                self.logger.write(
+                    "Run: {}, full-ranking HR@10: {:.4f}, NDCG@10: {:.4f}".format(
+                        run, float(mf["HR"][5]), float(mf["NDCG"][5])
+                    )
+                )
 
             jax.block_until_ready(params)
             duration = time.perf_counter() - t_run
