@@ -183,6 +183,7 @@ def _fused_gat_step(sp, h, g, num_channels, num_nodes, heads, concat,
     from ..ops.gather import gather_dst, gather_src
     from ..ops.pallas_segment import segment_softmax_auto
 
+    overridden = aggregate is not None or softmax is not None
     softmax = softmax or segment_softmax_auto
 
     if h.ndim == 2:
@@ -201,7 +202,25 @@ def _fused_gat_step(sp, h, g, num_channels, num_nodes, heads, concat,
     # measured), while [E, D] row gathers stream at ~73 GB/s — so the src
     # side rides the wide gather for free.  dst side: ops/gather.gather_dst
     # (sorted-broadcast kernel on TPU).
+    from ..ops import config as _cfg
     from ..ops.config import msg_cast
+
+    dropout_active = dropout > 0.0 and dropout_key is not None
+    if not overridden and not dropout_active:
+        from ..ops.flash_gat import flash_gat_attention, flash_gat_enabled
+
+        if flash_gat_enabled(heads, dropout_active, g.dst.shape[0]):
+            # one fused pass: gather + logits + online softmax + weighted
+            # segment-sum, no [E, *] HBM intermediates (ops/flash_gat.py)
+            packed = msg_cast(
+                jnp.concatenate([z.reshape(n_virtual, c_dim), a_src], axis=1)
+            )
+            out = flash_gat_attention(
+                packed, a_dst[:, 0], g.src, g.dst, g.src_perm, g.src_sorted,
+                n_virtual, c_dim, 0.2, False, _cfg.SEGSUM_TRANSPORT,
+            )
+            out = out.reshape(num_channels, num_nodes, c_dim)
+            return out + sp["b"][:, None, :]
 
     packed = msg_cast(
         jnp.concatenate([z.reshape(n_virtual, heads * c_dim), a_src], axis=1)
