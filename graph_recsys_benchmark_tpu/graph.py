@@ -244,6 +244,50 @@ def fuse_step_graphs(step_graphs, num_nodes, pad_to=PAD_TO) -> StepGraph:
     )
 
 
+def fuse_step_graphs_interleaved(step_graphs, emb_rows, pad_to=PAD_TO) -> StepGraph:
+    """Node-major fused union: channel c's node n maps to virtual id
+    ``n * C + c`` over ``emb_rows`` (the 128-padded table height).
+
+    Whereas fuse_step_graphs is channel-major (c*N + n), this layout makes
+    row OWNERSHIP contiguous under a P-way row sharding of the embedding
+    table: virtual row v belongs to shard ``v // (C * emb_rows / P)`` — the
+    same shard that owns node ``v // C`` of the table.  That alignment is
+    what lets the all-to-all sharded-embedding path (parallel/a2a.py)
+    psum_scatter per-step aggregates straight into table-aligned shards
+    with no re-layout collective.  Math per channel is identical.
+    """
+    C = len(step_graphs)
+    srcs, dsts, ws, rels = [], [], [], []
+    for c, g in enumerate(step_graphs):
+        e = g.num_edges
+        srcs.append(np.asarray(g.src)[:e].astype(np.int64) * C + c)
+        dsts.append(np.asarray(g.dst)[:e].astype(np.int64) * C + c)
+        ws.append(np.asarray(g.w)[:e])
+        rels.append(np.asarray(g.rel)[:e].astype(np.int64))
+    return _sort_pad(
+        np.concatenate(srcs),
+        np.concatenate(dsts),
+        np.concatenate(ws).astype(np.float32),
+        np.concatenate(rels),
+        emb_rows * C,
+        pad_to,
+    )
+
+
+def build_fused_metapath_graphs_interleaved(
+    metapath_steps, num_nodes, emb_rows, conv: str, pad_to=PAD_TO
+) -> Tuple[StepGraph, ...]:
+    """Interleaved variant of build_fused_metapath_graphs (see
+    fuse_step_graphs_interleaved) for the sharded-embedding training path."""
+    per_channel = build_metapath_graphs(metapath_steps, num_nodes, conv, pad_to)
+    n_steps = {len(ch) for ch in per_channel}
+    assert len(n_steps) == 1, "fused path needs uniform meta_path_steps"
+    return tuple(
+        fuse_step_graphs_interleaved([ch[k] for ch in per_channel], emb_rows, pad_to)
+        for k in range(n_steps.pop())
+    )
+
+
 def build_fused_metapath_graphs(
     metapath_steps, num_nodes, conv: str, pad_to=PAD_TO
 ) -> Tuple[StepGraph, ...]:

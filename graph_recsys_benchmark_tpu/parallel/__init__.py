@@ -5,12 +5,23 @@ from .edge_parallel import (
 )
 from .mesh import make_mesh
 from .spmd import param_shardings, make_sharded_train_step
+from .a2a import build_a2a_setup, make_a2a_train_step
+from .sharded_embedding import (
+    build_static_plan,
+    sharded_lookup,
+    static_lookup,
+)
 
 __all__ = [
     "make_mesh",
     "param_shardings",
     "make_sharded_train_step",
     "make_edge_sharded_train_step",
+    "make_a2a_train_step",
+    "build_a2a_setup",
+    "build_static_plan",
+    "sharded_lookup",
+    "static_lookup",
     "shard_fused_graphs",
     "shard_step_graph",
 ]

@@ -82,35 +82,34 @@ def make_sharded_train_step(cfg: PEAConfig, graphs, optimizer, mesh: Mesh):
 
 def _opt_shardings(opt_state, p_shard, mesh):
     """Give each optimizer-state leaf the sharding of the parameter it
-    mirrors (matched by pytree structure), replicating scalars."""
+    mirrors, replicating everything else (step counters, scalars).
+
+    A state subtree is a parameter mirror iff its full pytree STRUCTURE
+    equals the param tree's (optax's `mu`/`nu`/`trace` fields are literal
+    tree_maps of the params) — structural identity, not the fragile
+    leaf-count heuristic (round-1 ADVICE/VERDICT: a chain state with a
+    coincidentally equal leaf count must not silently inherit shardings).
+    """
     rep = NamedSharding(mesh, P())
-
-    def assign(leaf):
-        return rep
-
-    # optax chain state: tuples of ScaleByAdamState etc.; mu/nu mirror params
-    flat_p, _ = jax.tree_util.tree_flatten(p_shard)
+    flat_p, p_def = jax.tree_util.tree_flatten(p_shard)
 
     def match(sub):
         try:
-            flat_s, treedef = jax.tree_util.tree_flatten(sub)
+            flat_s, s_def = jax.tree_util.tree_flatten(sub)
         except Exception:
             return None
-        if len(flat_s) == len(flat_p):
-            return jax.tree_util.tree_unflatten(treedef, flat_p)
+        if s_def == p_def:
+            return jax.tree_util.tree_unflatten(s_def, flat_p)
         return None
 
     def walk(state):
-        if isinstance(state, (tuple, list)) and not hasattr(state, "_fields"):
-            return type(state)(walk(s) for s in state)
-        if hasattr(state, "_fields"):  # NamedTuple state
-            vals = {}
-            for f in state._fields:
-                v = getattr(state, f)
-                m = match(v)
-                vals[f] = m if m is not None else jax.tree_util.tree_map(assign, v)
-            return type(state)(**vals)
         m = match(state)
-        return m if m is not None else jax.tree_util.tree_map(assign, state)
+        if m is not None:
+            return m
+        if hasattr(state, "_fields"):  # NamedTuple state
+            return type(state)(**{f: walk(getattr(state, f)) for f in state._fields})
+        if isinstance(state, (tuple, list)):
+            return type(state)(walk(s) for s in state)
+        return jax.tree_util.tree_map(lambda _: rep, state)
 
     return walk(opt_state)

@@ -1,0 +1,292 @@
+"""Sharded-embedding all-to-all path (parallel/sharded_embedding, parallel/a2a).
+
+The round-1 verdict's top item: row-shard the embedding table and gather
+batch/edge rows via dedupe -> all_to_all id exchange -> local gather ->
+reverse all_to_all (gradients = the exact transpose), instead of letting
+GSPMD all-gather the full table every step (reference keeps the table dense
+on one GPU: graph_recsys_benchmark/models/base.py:156; SURVEY.md section 7.3
+names this lookup the north-star distributed piece).
+
+Checks, all on the virtual 8-device CPU mesh:
+  - sharded_lookup == plain table[idx] in value and gradient (with duplicate
+    ids, so the VJP's duplicate accumulation is exercised)
+  - static_lookup with a host-side build_static_plan matches, value+grad
+  - the a2a train step's loss and per-step params match the replicated
+    single-device step to fp tolerance, for gcn/sage/gat
+  - the compiled HLO of the a2a step contains NO full-table all-gather
+    (the gather that round 1's GSPMD path silently inserted)
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from graph_recsys_benchmark_tpu.graph import build_metapath_graphs
+from graph_recsys_benchmark_tpu.models.pea import PEAConfig, pea_init
+from graph_recsys_benchmark_tpu.parallel.a2a import make_a2a_train_step
+from graph_recsys_benchmark_tpu.parallel.sharded_embedding import (
+    build_static_plan,
+    plan_arrays,
+    sharded_lookup,
+    static_lookup,
+)
+
+
+def _mesh(n=8, axis="dp"):
+    return Mesh(np.array(jax.devices()[:n]), (axis,))
+
+
+def _rand_edges(rng, n_nodes, n_edges):
+    return rng.integers(0, n_nodes, size=(2, n_edges)).astype(np.int64)
+
+
+# ------------------------------------------------------------ dynamic lookup
+
+
+def test_sharded_lookup_matches_dense_gather():
+    P_, S, D = 8, 16, 5
+    N = P_ * S
+    rng = np.random.default_rng(0)
+    table = rng.normal(size=(N, D)).astype(np.float32)
+    # ids with heavy duplication and every-owner coverage
+    idx = rng.integers(0, N, size=(P_ * 24,)).astype(np.int32)
+    idx[:P_] = np.arange(P_) * S  # one id per owner
+    idx[P_ : 2 * P_] = idx[0]  # duplicates
+
+    mesh = _mesh(P_)
+    cap = 24  # per-device ids per owner bucket <= 24
+
+    def f(tab, ids):
+        return sharded_lookup(tab, ids, "dp", P_, cap)
+
+    smapped = jax.jit(
+        jax.shard_map(
+            f,
+            mesh=mesh,
+            in_specs=(P("dp", None), P("dp")),
+            out_specs=P("dp", None),
+            check_vma=False,
+        )
+    )
+    out = smapped(table, idx)
+    np.testing.assert_allclose(np.asarray(out), table[idx], rtol=0, atol=0)
+
+
+def test_sharded_lookup_grad_accumulates_duplicates():
+    P_, S, D = 8, 8, 3
+    N = P_ * S
+    rng = np.random.default_rng(1)
+    table = rng.normal(size=(N, D)).astype(np.float32)
+    idx = rng.integers(0, N, size=(P_ * 8,)).astype(np.int32)
+    idx[1] = idx[0]
+    idx[2] = idx[0]  # triple duplicate
+    cot = rng.normal(size=(P_ * 8, D)).astype(np.float32)
+
+    mesh = _mesh(P_)
+
+    def loss(tab, ids, c):
+        return jnp.sum(sharded_lookup(tab, ids, "dp", P_, 8) * c)
+
+    def local(tab, ids, c):
+        g = jax.grad(loss)(tab, ids, c)
+        return g  # stays sharded: each device's rows got all cotangents
+
+    smapped = jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P("dp", None), P("dp"), P("dp", None)),
+            out_specs=P("dp", None),
+            check_vma=False,
+        )
+    )
+    g = np.asarray(smapped(table, idx, cot))
+
+    ref = np.zeros_like(table)
+    np.add.at(ref, idx, cot)
+    np.testing.assert_allclose(g, ref, rtol=1e-6, atol=1e-6)
+
+
+# ------------------------------------------------------------- static lookup
+
+
+def test_static_lookup_matches_dense_gather_value_and_grad():
+    P_, S, D = 8, 16, 4
+    N = P_ * S
+    rng = np.random.default_rng(2)
+    table = rng.normal(size=(N, D)).astype(np.float32)
+    # per-device static id sets (like per-step edge src arrays)
+    idx = rng.integers(0, N, size=(P_, 40)).astype(np.int64)
+    idx[:, 5] = idx[:, 4]  # duplicates inside a device's set
+
+    plan = build_static_plan(idx, S, P_)
+    arrs = plan_arrays(plan)
+    cap = plan["capacity"]
+    cot = rng.normal(size=(P_, 40, D)).astype(np.float32)
+
+    mesh = _mesh(P_)
+
+    def local(tab, own, pos, serve, c):
+        own, pos, serve, c = own[0], pos[0], serve[0], c[0]
+
+        def loss(t):
+            return jnp.sum(static_lookup(t, own, pos, serve, "dp", P_, cap) * c)
+
+        val = static_lookup(tab, own, pos, serve, "dp", P_, cap)
+        return val[None], jax.grad(loss)(tab)
+
+    smapped = jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P("dp", None),
+                P("dp", None),
+                P("dp", None),
+                P("dp", None, None),
+                P("dp", None, None),
+            ),
+            out_specs=(P("dp", None, None), P("dp", None)),
+            check_vma=False,
+        )
+    )
+    val, grad = smapped(table, arrs["own"], arrs["pos"], arrs["serve"], cot)
+    np.testing.assert_allclose(np.asarray(val), table[idx], rtol=0, atol=0)
+
+    ref = np.zeros_like(table)
+    np.add.at(ref, idx.reshape(-1), cot.reshape(-1, D))
+    np.testing.assert_allclose(np.asarray(grad), ref, rtol=1e-5, atol=1e-5)
+
+
+# ----------------------------------------------------------- a2a train parity
+
+
+def _tiny_setup(conv, entity_aware=False, n_nodes=200, seed=0):
+    rng = np.random.default_rng(seed)
+    C = 3
+    metapath_edges = [
+        [_rand_edges(rng, n_nodes, 600), _rand_edges(rng, n_nodes, 600)]
+        for _ in range(C)
+    ]
+    cfg = PEAConfig(
+        conv=conv,
+        num_nodes=n_nodes,
+        meta_path_steps=(2,) * C,
+        emb_dim=16,
+        hidden_size=16,
+        repr_dim=8,
+        channel_aggr="att",
+        entity_aware=entity_aware,
+        fused=True,
+    )
+    B = 64
+    cols = 9 if entity_aware else 3
+    batch = rng.integers(0, n_nodes, size=(B, cols)).astype(np.int32)
+    if entity_aware:
+        batch[:, 5] = rng.integers(0, 2, size=B) * 2 - 1
+        batch[:, 8] = rng.integers(0, 2, size=B) * 2 - 1
+    row_mask = np.ones((B,), np.float32)
+    return cfg, metapath_edges, batch, row_mask
+
+
+def _replicated_reference_step(cfg, metapath_edges, params, opt, opt_state, batch, row_mask):
+    """Single-device fused step (the existing, golden-tested path)."""
+    from graph_recsys_benchmark_tpu.graph import build_fused_metapath_graphs
+    from graph_recsys_benchmark_tpu.models.pea import pea_loss
+
+    graphs = build_fused_metapath_graphs(
+        metapath_edges, cfg.num_nodes, cfg.conv
+    )
+
+    def loss_fn(p):
+        return pea_loss(p, graphs, cfg, jnp.asarray(batch),
+                        row_mask=jnp.asarray(row_mask), training=True)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt_state = opt.update(grads, opt_state, params)
+    return optax.apply_updates(params, updates), loss
+
+
+@pytest.mark.parametrize("conv", ["gcn", "sage", "gat"])
+def test_a2a_step_matches_replicated(conv):
+    cfg, metapath_edges, batch, row_mask = _tiny_setup(conv)
+    mesh = _mesh(8)
+    opt = optax.adam(1e-2)
+
+    params = pea_init(jax.random.PRNGKey(3), cfg)
+    opt_state = opt.init(params)
+
+    new_ref, loss_ref = _replicated_reference_step(
+        cfg, metapath_edges, params, opt, opt_state, batch, row_mask
+    )
+
+    place, _ = make_a2a_train_step(cfg, metapath_edges, opt, mesh)
+    jitted, p_sh, o_sh = place(params, opt.init(params))
+    key = jax.random.PRNGKey(0)
+    new_a2a, _, loss_a2a = jitted(
+        p_sh, o_sh, jnp.asarray(batch), jnp.asarray(row_mask), key
+    )
+
+    np.testing.assert_allclose(
+        float(loss_a2a), float(loss_ref), rtol=2e-5,
+        err_msg=f"{conv}: a2a loss != replicated loss",
+    )
+    for k in new_ref:
+        ref_leaves = jax.tree_util.tree_leaves(new_ref[k])
+        a2a_leaves = jax.tree_util.tree_leaves(new_a2a[k])
+        for r, a in zip(ref_leaves, a2a_leaves):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(r), rtol=5e-4, atol=5e-5,
+                err_msg=f"{conv}: param {k} diverged",
+            )
+
+
+def test_a2a_entity_aware_matches_replicated():
+    cfg, metapath_edges, batch, row_mask = _tiny_setup("gcn", entity_aware=True)
+    mesh = _mesh(8)
+    opt = optax.adam(1e-2)
+    params = pea_init(jax.random.PRNGKey(5), cfg)
+
+    new_ref, loss_ref = _replicated_reference_step(
+        cfg, metapath_edges, params, opt, opt.init(params), batch, row_mask
+    )
+    place, _ = make_a2a_train_step(cfg, metapath_edges, opt, mesh)
+    jitted, p_sh, o_sh = place(params, opt.init(params))
+    _, _, loss_a2a = jitted(
+        p_sh, o_sh, jnp.asarray(batch), jnp.asarray(row_mask), jax.random.PRNGKey(0)
+    )
+    np.testing.assert_allclose(float(loss_a2a), float(loss_ref), rtol=2e-5)
+
+
+def test_a2a_hlo_has_no_full_table_allgather():
+    """The point of the exercise: the compiled module must not all-gather
+    the [emb_rows, emb] table (round 1's GSPMD path did, VERDICT item 2)."""
+    cfg, metapath_edges, batch, row_mask = _tiny_setup("gcn", n_nodes=512)
+    mesh = _mesh(8)
+    opt = optax.adam(1e-2)
+    params = pea_init(jax.random.PRNGKey(7), cfg)
+
+    place, _ = make_a2a_train_step(cfg, metapath_edges, opt, mesh)
+    jitted, p_sh, o_sh = place(params, opt.init(params))
+    compiled = jitted.lower(
+        p_sh, o_sh, jnp.asarray(batch), jnp.asarray(row_mask), jax.random.PRNGKey(0)
+    ).compile()
+    hlo = compiled.as_text()
+    emb_rows = cfg.emb_rows
+    emb = cfg.emb_dim
+    # A full-table all-gather materializes a [emb_rows, emb] f32 out of
+    # shards; assert no all-gather output of that shape exists.
+    import re
+
+    offenders = [
+        ln
+        for ln in hlo.splitlines()
+        if "all-gather" in ln
+        and re.search(rf"f32\[{emb_rows},\s*{emb}\]", ln)
+    ]
+    assert not offenders, f"full-table all-gather found:\n" + "\n".join(offenders)
