@@ -180,48 +180,69 @@ def _fused_sage_step(sp, h, g, num_channels, num_nodes, aggregate=None):
 
 def _fused_gat_step(sp, h, g, num_channels, num_nodes, heads, concat,
                     dropout, dropout_key, aggregate=None, softmax=None):
+    from ..ops import config as _cfg
+    from ..ops.config import msg_cast
     from ..ops.gather import gather_dst, gather_src
     from ..ops.pallas_segment import segment_softmax_auto
 
     overridden = aggregate is not None or softmax is not None
     softmax = softmax or segment_softmax_auto
-
-    if h.ndim == 2:
-        z = jnp.einsum("nd,cde->cne", h[:num_nodes], sp["w"])
-    else:
-        z = jnp.einsum("cnd,cde->cne", h, sp["w"])
-    c_dim = z.shape[-1] // heads
-    z = z.reshape(num_channels, num_nodes, heads, c_dim)
-    att = sp["att"][:, 0]  # [C, H, 2c]
-    att_dst, att_src = att[..., :c_dim], att[..., c_dim:]
-    a_dst = jnp.sum(z * att_dst[:, None], axis=-1).reshape(num_channels * num_nodes, heads)
-    a_src = jnp.sum(z * att_src[:, None], axis=-1).reshape(num_channels * num_nodes, heads)
     n_virtual = num_channels * num_nodes
-    # Pack a_src as extra feature columns of the z row-gather: XLA lowers
-    # 1-D (scalar-row) gathers to a serial scalar loop on TPU (~1.4 GB/s
-    # measured), while [E, D] row gathers stream at ~73 GB/s — so the src
-    # side rides the wide gather for free.  dst side: ops/gather.gather_dst
-    # (sorted-broadcast kernel on TPU).
-    from ..ops import config as _cfg
-    from ..ops.config import msg_cast
-
+    c_dim_full = sp["w"].shape[-1]
+    c_dim = c_dim_full // heads
     dropout_active = dropout > 0.0 and dropout_key is not None
+
     if not overridden and not dropout_active:
-        from ..ops.flash_gat import flash_gat_attention, flash_gat_enabled
+        from ..ops.flash_gat import (
+            flash_gat_attention,
+            flash_gat_enabled,
+            pack_gat_table,
+        )
 
         if flash_gat_enabled(heads, dropout_active, g.dst.shape[0]):
-            # one fused pass: gather + logits + online softmax + weighted
-            # segment-sum, no [E, *] HBM intermediates (ops/flash_gat.py)
-            packed = msg_cast(
-                jnp.concatenate([z.reshape(n_virtual, c_dim), a_src], axis=1)
+            # One fused pass: gather + logits + online softmax + weighted
+            # segment-sum, no [E, *] HBM intermediates (ops/flash_gat.py).
+            # The packed table is emitted COLUMN-major straight from the
+            # einsum — no [N, k] -> [k, N] transpose op on the hot path.
+            if h.ndim == 2:
+                z3 = jnp.einsum("nd,cde->ecn", h[:num_nodes], sp["w"])
+            else:
+                z3 = jnp.einsum("cnd,cde->ecn", h, sp["w"])
+            att2 = sp["att"][:, 0, 0]  # [C, 2c] (H == 1)
+            a_dst = jnp.einsum("ecn,ce->cn", z3, att2[:, :c_dim]).reshape(
+                n_virtual
+            )
+            a_src = jnp.einsum("ecn,ce->cn", z3, att2[:, c_dim:]).reshape(
+                n_virtual
+            )
+            t_dtype = (
+                jnp.bfloat16 if _cfg.SEGSUM_TRANSPORT == "bf16"
+                else jnp.float32
+            )
+            packed_t = pack_gat_table(
+                z3.reshape(c_dim, n_virtual), a_src, n_virtual, t_dtype
             )
             out = flash_gat_attention(
-                packed, a_dst[:, 0], g.src, g.dst, g.src_perm, g.src_sorted,
+                packed_t, a_dst, g.src, g.dst, g.src_perm, g.src_sorted,
                 n_virtual, c_dim, 0.2, False, _cfg.SEGSUM_TRANSPORT,
             )
             out = out.reshape(num_channels, num_nodes, c_dim)
             return out + sp["b"][:, None, :]
 
+    if h.ndim == 2:
+        z = jnp.einsum("nd,cde->cne", h[:num_nodes], sp["w"])
+    else:
+        z = jnp.einsum("cnd,cde->cne", h, sp["w"])
+    z = z.reshape(num_channels, num_nodes, heads, c_dim)
+    att = sp["att"][:, 0]  # [C, H, 2c]
+    att_dst, att_src = att[..., :c_dim], att[..., c_dim:]
+    a_dst = jnp.sum(z * att_dst[:, None], axis=-1).reshape(n_virtual, heads)
+    a_src = jnp.sum(z * att_src[:, None], axis=-1).reshape(n_virtual, heads)
+    # Pack a_src as extra feature columns of the z row-gather: XLA lowers
+    # 1-D (scalar-row) gathers to a serial scalar loop on TPU (~1.4 GB/s
+    # measured), while [E, D] row gathers stream at ~73 GB/s — so the src
+    # side rides the wide gather for free.  dst side: ops/gather.gather_dst
+    # (sorted-broadcast kernel on TPU).
     packed = msg_cast(
         jnp.concatenate([z.reshape(n_virtual, heads * c_dim), a_src], axis=1)
     )

@@ -37,3 +37,8 @@ def resolve(use_pallas, default):
     if FORCE_PALLAS is not None:
         return FORCE_PALLAS
     return default
+
+# Use the one-pass flash-GAT backward megakernel instead of the composed
+# broadcast/gather/scatter pipeline (measured slower on v5e at bench scale;
+# kept for experimentation and interpret-mode validation).
+FLASH_BWD_MEGA = False

@@ -1,33 +1,43 @@
-"""Fused flash-style GAT attention megakernel (single head).
+"""Fused flash-style GAT attention megakernels (single head).
 
 Replaces the five-op edge pipeline of models/pea._fused_gat_step —
   packed src gather -> dst logit gather -> softmax stats -> stats
   broadcast -> weighted segment-sum
-— with ONE Pallas pass that never materializes an [E, *] intermediate in
-HBM.  This is the graph analog of flash attention: the grid walks 128-row
-destination blocks, each block streams its edge chunks, gathers the packed
-``[z | a_src]`` source rows with one-hot MXU matmuls (exact row selection,
-ops/pallas_segment.py), forms the masked logits against the block's
-``a_dst`` column, and maintains an online softmax — running max ``m``,
-rescaled sum-of-exp ``s`` AND the rescaled weighted accumulator
-``acc += exp(alpha - m) @ z_e^T`` — finalizing ``out = acc / s``.
+— with ONE Pallas pass per direction that never materializes an [E, *]
+intermediate in HBM.  This is the graph analog of flash attention: the grid
+walks 128-row destination blocks, each block streams its edge chunks,
+gathers the packed ``[z | a_src]`` source rows with one-hot MXU matmuls
+(exact row selection, ops/pallas_segment.py), forms the per-edge logits,
+and maintains an online softmax.
 
 The reference computes the same math as PyG 1.5 GATConv's
 scatter-softmax + scatter-add (torch-scatter CUDA; SURVEY.md §2.4) —
 semantics per graph_recsys_benchmark/models/peagat.py:14-21 and the +1e-16
 denominator guard of PyG softmax.
 
-Backward is composed from the existing kernels with flash-style
-recompute (no [E] residuals except what they rebuild): one dst broadcast
-of ``[g, g·out, m, s, a_dst]``, one src re-gather of ``[z | a_src]``,
-per-edge ``datt/dalpha`` elementwise, one src scatter-add of
-``[att·g | dpre]`` and one dst segment-sum for ``da_dst``.
+Layout: the packed table travels COLUMN-major (``packed_t [k_pad, N_pad]``,
+rows 0..kz-1 = z features, row kz = a_src) end to end.  The producing
+einsum emits that layout natively, the kernels consume it, and the backward
+megakernel's scatter accumulates the cotangent in the same layout — no
+[N, k] <-> [k, N] transpose op anywhere on the hot path (a measured
+~0.11 ms/step each at bench scale).  Use ``pack_gat_table`` to build it.
+
+Backward is ONE megakernel (same dst-block grid): gathers the per-row
+``[g | g·out | m | s | a_dst]`` table through the one-hot dst matrix (free —
+it is a block input), recomputes ``att`` flash-style from the re-gathered
+sources, forms the per-edge cotangents in [1, chunk] registers, scatter-adds
+``[att·g | dpre]`` into a VMEM-resident ``dpacked_t`` accumulator through
+the src windows, and segment-reduces ``da_dst`` block-locally.  It replaces
+four separate kernel launches (dst broadcast, src re-gather, localized
+scatter, 1-col segment-sum) plus all their [E, *] HBM glue.
 
 Edge-order contract: ``dst`` must be block-monotone (``dst // 128``
 non-decreasing — true for graph.py's (dst//128, src) block order and for
 fully dst-sorted lists); ``src`` may be anything (window metadata is
-per-chunk min/max — locality only buys speed).  Padding edges carry
-``src == dst == num_rows`` and contribute exactly nothing.
+per-chunk min/max over REAL lanes — locality only buys speed).  Padding
+edges carry ``dst == num_rows`` (src is arbitrary; in blocks that contain
+the in-table pad row ``num_rows`` their contributions land there and are
+sliced off).
 """
 
 from __future__ import annotations
@@ -46,19 +56,89 @@ from .pallas_segment import (
     _cdiv,
     _chunk_window_meta,
     _on_tpu,
-    localized_scatter_add_pallas,
-    scatter_fits_vmem,
-    segment_sum_auto,
-    sorted_broadcast_auto,
 )
 
-# Edge-chunk size: the fused kernel pays both the gather's window matmuls
-# and a [R, C] exp per chunk, so it sits between the gather (2048) and
-# stats (512) sweet spots.  1024 measured fastest on v5e at bench scale.
+# Edge-chunk size: the fused kernel pays the gather's window matmuls, the
+# one-hot build and a handful of [1, C] per-edge ops per chunk.  1024
+# measured fastest on v5e at bench scale (512/2048/4096 all slower).
 _FC = 1024
+# Backward chunk: the bwd kernel walks each chunk's windows twice (gather +
+# scatter) and adds two stat matmuls, so larger chunks amortize better.
+_FC_BWD = 1024
+
+# Packed tables / cotangent accumulators up to this size stay VMEM-resident
+# for the whole grid (v5e VMEM ~16 MiB/core; leave room for blocks+buffers).
+_TABLE_VMEM_BYTES = 6 * 1024 * 1024
 
 
-def _make_flash_kernel(chunk, k_pad, kz, t_dtype, negative_slope):
+def _layout(num_rows, kz):
+    k = kz + 1
+    k_pad = max(8, _cdiv(k, 8) * 8)
+    # src windows may start at any _BR-aligned row <= the sentinel and read
+    # _BR rows; pad the packed table so every window stays in bounds
+    n_src_pad = _cdiv(num_rows + 1, _BR) * _BR + _BR
+    return k, k_pad, n_src_pad
+
+
+def pack_gat_table(z_t, a_src, num_rows, t_dtype):
+    """Build the column-major packed table ``[k_pad, n_src_pad]``.
+
+    z_t: [kz, N] (any float dtype) — feature-major z; a_src: [N] f32.
+    Rows 0..kz-1 = z (cast to t_dtype), row kz = a_src, rest zero."""
+    kz, n = z_t.shape
+    _, k_pad, n_src_pad = _layout(num_rows, kz)
+    table = jnp.concatenate(
+        [z_t.astype(t_dtype), a_src[None].astype(t_dtype)], axis=0
+    )
+    return jnp.pad(table, ((0, k_pad - kz - 1), (0, n_src_pad - n)))
+
+
+def _ids_pipeline(src_hbm, dst_hbm, sid_buf, did_buf, sem_ids, chunk):
+    def start_ids(c, slot):
+        pltpu.make_async_copy(
+            src_hbm.at[:, pl.ds(c * chunk, chunk)], sid_buf.at[slot],
+            sem_ids.at[slot, 0],
+        ).start()
+        pltpu.make_async_copy(
+            dst_hbm.at[:, pl.ds(c * chunk, chunk)], did_buf.at[slot],
+            sem_ids.at[slot, 1],
+        ).start()
+
+    def wait_ids(c, slot):
+        pltpu.make_async_copy(
+            src_hbm.at[:, pl.ds(c * chunk, chunk)], sid_buf.at[slot],
+            sem_ids.at[slot, 0],
+        ).wait()
+        pltpu.make_async_copy(
+            dst_hbm.at[:, pl.ds(c * chunk, chunk)], did_buf.at[slot],
+            sem_ids.at[slot, 1],
+        ).wait()
+
+    return start_ids, wait_ids
+
+
+def _make_flash_kernel(chunk, k_pad, kz, t_dtype, negative_slope,
+                       table_in_vmem):
+    """Forward kernel.  Strategy (v2): keep ALL per-edge math [1, chunk].
+
+    The v1 kernel formed logits/exp/softmax terms as [128, chunk] blocks
+    (one row per candidate dst) — 128x redundant VPU work.  v2 computes
+    per-edge quantities in [1, chunk] registers and moves values between
+    row-space [128, ·] and edge-space [1, ·] with the SAME one-hot dst
+    matrix used for the final aggregation:
+
+      a_dst_e, m_e  = (col [R,1])ᵀ · OH_dst      (row -> edge broadcast)
+      out | s      += OH_dst · [p·z | p]ᵀ        (edge -> row reduce)
+
+    leaving 4 full [128, chunk] VPU passes per chunk (compare, cast,
+    masked-val select, row-max) instead of ~10 including a [128, chunk]
+    exp.  The online row-max `m` is stored pre-rounded to the transport
+    dtype so the matmul-gathered m_e is bitwise the stored value (the
+    softmax shift cancels exactly between numerator and denominator, so a
+    rounded shift changes nothing but fp noise; in f32 transport it is
+    exact).  s rides as column `kz` of the out accumulator (z rows above kz
+    are zero), so edge->row reduction is ONE matmul per chunk.
+    """
     gather_precision = (
         jax.lax.Precision.DEFAULT
         if t_dtype == jnp.bfloat16
@@ -66,9 +146,15 @@ def _make_flash_kernel(chunk, k_pad, kz, t_dtype, negative_slope):
     )
     acc_precision = gather_precision
 
-    def _kernel(cb_ref, wm_ref, adst_ref, packed_hbm, src_hbm, dst_hbm,
-                out_ref, m_ref, s_ref, win_buf, sid_buf, did_buf, sem_win,
-                sem_ids):
+    def _kernel(cb_ref, wm_ref, adst_ref, packed_ref, src_hbm, dst_hbm,
+                out_ref, m_ref, s_ref, *scratch):
+        if table_in_vmem:
+            # packed_ref IS the whole [k_pad, n_src_pad] table, resident in
+            # VMEM for the entire grid (constant index_map) — windows are
+            # free dynamic slices, no DMA latency on the chunk critical path
+            sid_buf, did_buf, sem_ids = scratch
+        else:
+            win_buf, sid_buf, did_buf, sem_win, sem_ids = scratch
         i = pl.program_id(0)
         c_lo = cb_ref[i, 0]
         c_hi = cb_ref[i, 1]
@@ -76,31 +162,19 @@ def _make_flash_kernel(chunk, k_pad, kz, t_dtype, negative_slope):
 
         out_ref[:] = jnp.zeros_like(out_ref)
         m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
-        s_ref[:] = jnp.zeros_like(s_ref)
 
         drow_ids = (
             jax.lax.broadcasted_iota(jnp.int32, (_R, chunk), dimension=0) + row0
         )
+        krow_is_s = (
+            jax.lax.broadcasted_iota(jnp.int32, (k_pad, chunk), dimension=0)
+            == kz
+        )
+        adst_t = adst_ref[:, 0:1].astype(t_dtype)  # [R, 1]
 
-        def start_ids(c, slot):
-            pltpu.make_async_copy(
-                src_hbm.at[:, pl.ds(c * chunk, chunk)], sid_buf.at[slot],
-                sem_ids.at[slot, 0],
-            ).start()
-            pltpu.make_async_copy(
-                dst_hbm.at[:, pl.ds(c * chunk, chunk)], did_buf.at[slot],
-                sem_ids.at[slot, 1],
-            ).start()
-
-        def wait_ids(c, slot):
-            pltpu.make_async_copy(
-                src_hbm.at[:, pl.ds(c * chunk, chunk)], sid_buf.at[slot],
-                sem_ids.at[slot, 0],
-            ).wait()
-            pltpu.make_async_copy(
-                dst_hbm.at[:, pl.ds(c * chunk, chunk)], did_buf.at[slot],
-                sem_ids.at[slot, 1],
-            ).wait()
+        start_ids, wait_ids = _ids_pipeline(
+            src_hbm, dst_hbm, sid_buf, did_buf, sem_ids, chunk
+        )
 
         @pl.when(c_lo < c_hi)
         def _():
@@ -120,98 +194,141 @@ def _make_flash_kernel(chunk, k_pad, kz, t_dtype, negative_slope):
             win0 = wm_ref[c, 0]
             n_win = wm_ref[c, 1]
 
-            def start_win(w, wslot):
-                pltpu.make_async_copy(
-                    packed_hbm.at[:, pl.ds((win0 + w) * _BR, _BR)],
-                    win_buf.at[wslot],
-                    sem_win.at[wslot],
-                ).start()
+            if table_in_vmem:
+                def wbody(w, acc):
+                    start = (win0 + w) * _BR
+                    srow_ids = (
+                        jax.lax.broadcasted_iota(
+                            jnp.int32, (_BR, chunk), dimension=0
+                        )
+                        + start
+                    )
+                    oh = (src_ids == srow_ids).astype(t_dtype)  # [R, C]
+                    return acc + jax.lax.dot_general(
+                        packed_ref[:, pl.ds(start, _BR)],
+                        oh,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=gather_precision,
+                    )
+            else:
+                def start_win(w, wslot):
+                    pltpu.make_async_copy(
+                        packed_ref.at[:, pl.ds((win0 + w) * _BR, _BR)],
+                        win_buf.at[wslot],
+                        sem_win.at[wslot],
+                    ).start()
 
-            def wait_win(w, wslot):
-                pltpu.make_async_copy(
-                    packed_hbm.at[:, pl.ds((win0 + w) * _BR, _BR)],
-                    win_buf.at[wslot],
-                    sem_win.at[wslot],
-                ).wait()
+                def wait_win(w, wslot):
+                    pltpu.make_async_copy(
+                        packed_ref.at[:, pl.ds((win0 + w) * _BR, _BR)],
+                        win_buf.at[wslot],
+                        sem_win.at[wslot],
+                    ).wait()
 
-            start_win(0, 0)
+                start_win(0, 0)
 
-            def wbody(w, acc):
-                wslot = jax.lax.rem(w, 2)
+                def wbody(w, acc):
+                    wslot = jax.lax.rem(w, 2)
 
-                @pl.when(w + 1 < n_win)
-                def _():
-                    start_win(w + 1, jax.lax.rem(w + 1, 2))
+                    @pl.when(w + 1 < n_win)
+                    def _():
+                        start_win(w + 1, jax.lax.rem(w + 1, 2))
 
-                wait_win(w, wslot)
-                start = (win0 + w) * _BR
-                srow_ids = (
-                    jax.lax.broadcasted_iota(jnp.int32, (_BR, chunk), dimension=0)
-                    + start
-                )
-                oh = (src_ids == srow_ids).astype(t_dtype)  # [R, C]
-                return acc + jax.lax.dot_general(
-                    win_buf[wslot],
-                    oh,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=gather_precision,
-                )
+                    wait_win(w, wslot)
+                    start = (win0 + w) * _BR
+                    srow_ids = (
+                        jax.lax.broadcasted_iota(
+                            jnp.int32, (_BR, chunk), dimension=0
+                        )
+                        + start
+                    )
+                    oh = (src_ids == srow_ids).astype(t_dtype)  # [R, C]
+                    return acc + jax.lax.dot_general(
+                        win_buf[wslot],
+                        oh,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=gather_precision,
+                    )
 
             zacc = jax.lax.fori_loop(
                 0, n_win, wbody, jnp.zeros((k_pad, chunk), jnp.float32),
                 unroll=False,
             )  # [K_pad, C]: rows [:kz] = z_e, row kz = a_src_e
 
-            a_src_e = zacc[kz : kz + 1, :]  # [1, C] f32
-            pre = adst_ref[:, 0:1] + a_src_e  # [R, C]
-            act = jnp.where(pre > 0, pre, negative_slope * pre)
             match = dst_ids == drow_ids  # [R, C]
+            oh = match.astype(t_dtype)  # [R, C] — reused by all 3 matmuls
+
+            # row -> edge: a_dst_e = a_dstᵀ · OH  (exact: one nonzero/col)
+            a_src_e = zacc[kz : kz + 1, :]  # [1, C] f32
+            a_dst_e = jax.lax.dot_general(
+                adst_t, oh,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=gather_precision,
+            )  # [1, C]
+            pre = a_dst_e + a_src_e  # [1, C]
+            act = jnp.where(pre > 0, pre, negative_slope * pre)
+
+            # per-row running max (the only remaining [R, C] reduction)
             vals = jnp.where(match, act, -jnp.inf)
             cmax = jnp.max(vals, axis=1, keepdims=True)  # [R, 1]
             m_old = m_ref[:]
-            m_new = jnp.maximum(m_old, cmax)
+            # store pre-rounded so the t_dtype matmul gather below is exact
+            m_new = (
+                jnp.maximum(m_old, cmax).astype(t_dtype).astype(jnp.float32)
+            )
             f_old = jnp.where(jnp.isfinite(m_old), jnp.exp(m_old - m_new), 0.0)
-            p = jnp.where(jnp.isfinite(vals), jnp.exp(vals - m_new), 0.0)
             m_ref[:] = m_new
-            s_ref[:] = s_ref[:] * f_old + jnp.sum(p, axis=1, keepdims=True)
+            # rows with m == -inf have no matching edge in this chunk (else
+            # cmax would be finite), so a 0 placeholder is never selected —
+            # and it keeps -inf·0 = NaN out of the gather matmul
+            m_g = jnp.where(jnp.isfinite(m_new), m_new, 0.0).astype(t_dtype)
+            m_e = jax.lax.dot_general(
+                m_g, oh,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=gather_precision,
+            )  # [1, C]
+
+            p = jnp.exp(act - m_e)  # [1, C]; sentinel edges -> p<=1, no row
+            # [p·z | p]: s rides as row kz (z rows above kz are zero)
+            wzp = jnp.where(krow_is_s, p, zacc * p).astype(t_dtype)
             out_ref[:] = out_ref[:] * f_old + jax.lax.dot_general(
-                p.astype(t_dtype),
-                zacc.astype(t_dtype),
+                oh, wzp,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=acc_precision,
-            )
+            )  # [R, k_pad]
             return ()
 
         jax.lax.fori_loop(c_lo, c_hi, body, (), unroll=False)
 
-        s_fin = s_ref[:]
+        s_fin = out_ref[:, kz : kz + 1]
+        s_ref[:] = s_fin
         out_ref[:] = out_ref[:] / (s_fin + 1e-16)
         m_ref[:] = jnp.where(jnp.isfinite(m_ref[:]), m_ref[:], 0.0)
 
     return _kernel
 
 
-def _flash_forward_impl(packed, a_dst, src, dst, num_rows, kz,
+def _flash_forward_impl(packed_t, a_dst, src, dst, num_rows, kz,
                         negative_slope, interpret, transport):
-    """Returns (out[num_rows, kz], m[num_rows], s[num_rows])."""
-    n, k = packed.shape
-    assert k == kz + 1, "packed must be [z | a_src] with a single head"
+    """packed_t: [k_pad, n_src_pad] (pack_gat_table layout).
+    Returns (out[num_rows, kz], m[num_rows], s[num_rows])."""
     t_dtype = jnp.bfloat16 if transport == "bf16" else jnp.float32
-    k_pad = max(8, _cdiv(k, 8) * 8)
+    k, k_pad, n_src_pad = _layout(num_rows, kz)
+    assert packed_t.shape == (k_pad, n_src_pad), (
+        packed_t.shape, (k_pad, n_src_pad))
+    n = num_rows
     e = dst.shape[0]
     e_pad = _cdiv(e, _FC) * _FC
     n_chunks = e_pad // _FC
     n_blocks = _cdiv(num_rows, _R)
     n_out = n_blocks * _R
-    # src windows may start at any _BR-aligned row <= the sentinel and read
-    # _BR rows; pad the packed table so every window stays in bounds
-    n_src_pad = _cdiv(num_rows + 1, _BR) * _BR + _BR
 
-    packed_t = jnp.zeros((k_pad, n_src_pad), t_dtype).at[:k, :n].set(
-        packed.astype(t_dtype).T
-    )
+    packed_t = packed_t.astype(t_dtype)
     adst_col = jnp.zeros((n_out, 1), jnp.float32).at[:n, 0].set(
         a_dst.astype(jnp.float32)
     )
@@ -225,12 +342,34 @@ def _flash_forward_impl(packed, a_dst, src, dst, num_rows, kz,
     win_meta = _chunk_window_meta(src, n_chunks, _FC, num_rows)
 
     itemsize = 2 if t_dtype == jnp.bfloat16 else 4
+    # Small tables live whole in VMEM for the entire grid (index_map is
+    # constant, so Pallas fetches once) — window "DMAs" become free slices,
+    # removing the per-chunk first-window DMA latency from the critical path
+    table_in_vmem = k_pad * n_src_pad * itemsize <= _TABLE_VMEM_BYTES
+    if table_in_vmem:
+        packed_spec = pl.BlockSpec(
+            (k_pad, n_src_pad), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+        )
+        scratch = [
+            pltpu.VMEM((2, 1, _FC), jnp.int32),
+            pltpu.VMEM((2, 1, _FC), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ]
+    else:
+        packed_spec = pl.BlockSpec(memory_space=pl.ANY)  # stays in HBM
+        scratch = [
+            pltpu.VMEM((2, k_pad, _BR), t_dtype),
+            pltpu.VMEM((2, 1, _FC), jnp.int32),
+            pltpu.VMEM((2, 1, _FC), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec((_R, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),  # packed_t stays in HBM
+            packed_spec,
             pl.BlockSpec(memory_space=pl.ANY),  # src ids
             pl.BlockSpec(memory_space=pl.ANY),  # dst ids
         ],
@@ -239,16 +378,11 @@ def _flash_forward_impl(packed, a_dst, src, dst, num_rows, kz,
             pl.BlockSpec((_R, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_R, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((2, k_pad, _BR), t_dtype),
-            pltpu.VMEM((2, 1, _FC), jnp.int32),
-            pltpu.VMEM((2, 1, _FC), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        scratch_shapes=scratch,
     )
     out, m, s = pl.pallas_call(
-        _make_flash_kernel(_FC, k_pad, kz, t_dtype, negative_slope),
+        _make_flash_kernel(_FC, k_pad, kz, t_dtype, negative_slope,
+                           table_in_vmem),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((n_out, k_pad), jnp.float32),
@@ -264,108 +398,409 @@ def _flash_forward_impl(packed, a_dst, src, dst, num_rows, kz,
                 + e_pad // _FC * 2 * _BR * k_pad * itemsize
                 + n_out * (k_pad + 3) * 4
             ),
-            transcendentals=e_pad * _R,
+            transcendentals=e_pad * 2,
         ),
     )(chunk_bounds, win_meta, adst_col, packed_t,
       src.reshape(1, -1), dst.reshape(1, -1))
     return out[:num_rows, :kz], m[:num_rows, 0], s[:num_rows, 0]
 
 
+# ------------------------------------------------------------------ backward
+
+
+def _make_flash_bwd_kernel(chunk, k_pad, kg_pad, kz, t_dtype, negative_slope):
+    """Backward megakernel (VMEM-table variant only).
+
+    Per dst block: the [g | g·out | m | s | a_dst] row table arrives as a
+    free block input; per chunk it is broadcast edge-wise through ONE
+    one-hot dst matmul, `att` is recomputed flash-style from the re-gathered
+    packed sources, the per-edge cotangents stay [1, chunk]-shaped, and
+    `[att·g | dpre]` scatter-adds into the VMEM-resident ``dpacked_t``
+    accumulator through the same src windows the gather used.  ``da_dst``
+    is block-local (one small matmul per chunk).
+    """
+    precision = (
+        jax.lax.Precision.DEFAULT
+        if t_dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+
+    def _kernel(cb_ref, wm_ref, gtab_ref, packed_ref, src_hbm, dst_hbm,
+                dpk_ref, dadst_ref, sid_buf, did_buf, sem_ids):
+        i = pl.program_id(0)
+        c_lo = cb_ref[i, 0]
+        c_hi = cb_ref[i, 1]
+        row0 = i * _R
+
+        @pl.when(i == 0)
+        def _():
+            dpk_ref[:] = jnp.zeros_like(dpk_ref)
+
+        dadst_ref[:] = jnp.zeros_like(dadst_ref)
+
+        drow_ids = (
+            jax.lax.broadcasted_iota(jnp.int32, (_R, chunk), dimension=0) + row0
+        )
+        krow = jax.lax.broadcasted_iota(jnp.int32, (k_pad, chunk), dimension=0)
+        # stat table stays f32: the one-hot select through bf16x3 products
+        # is exact, and dalpha = att·(g·z − g·out) is a near-cancellation
+        # that bf16-rounded g would corrupt (round-1 kept these f32 too)
+        gt = gtab_ref[:]  # [R, kg_pad] f32
+
+        start_ids, wait_ids = _ids_pipeline(
+            src_hbm, dst_hbm, sid_buf, did_buf, sem_ids, chunk
+        )
+
+        @pl.when(c_lo < c_hi)
+        def _():
+            start_ids(c_lo, 0)
+
+        def body(c, _):
+            slot = jax.lax.rem(c - c_lo, 2)
+
+            @pl.when(c + 1 < c_hi)
+            def _():
+                start_ids(c + 1, jax.lax.rem(c + 1 - c_lo, 2))
+
+            wait_ids(c, slot)
+            src_ids = sid_buf[slot]  # [1, C]
+            dst_ids = did_buf[slot]  # [1, C]
+
+            win0 = wm_ref[c, 0]
+            n_win = wm_ref[c, 1]
+
+            def gbody(w, acc):
+                start = (win0 + w) * _BR
+                srow_ids = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (_BR, chunk), dimension=0
+                    )
+                    + start
+                )
+                oh = (src_ids == srow_ids).astype(t_dtype)
+                return acc + jax.lax.dot_general(
+                    packed_ref[:, pl.ds(start, _BR)],
+                    oh,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )
+
+            zacc = jax.lax.fori_loop(
+                0, n_win, gbody, jnp.zeros((k_pad, chunk), jnp.float32),
+                unroll=False,
+            )  # rows [:kz] = z_e, row kz = a_src_e
+
+            match_d = dst_ids == drow_ids  # [R, C]
+            oh_d = match_d.astype(jnp.float32)
+            # row -> edge broadcast of the whole stat table, one matmul
+            G = jax.lax.dot_general(
+                gt, oh_d,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )  # [kg_pad, C]: rows [:kz]=g, kz=g·out, kz+1=m, kz+2=s, kz+3=adst
+            gout_e = G[kz : kz + 1, :]
+            m_e = G[kz + 1 : kz + 2, :]
+            s_e = G[kz + 2 : kz + 3, :]
+            adst_e = G[kz + 3 : kz + 4, :]
+            a_src_e = zacc[kz : kz + 1, :]
+
+            pre = adst_e + a_src_e
+            act = jnp.where(pre > 0, pre, negative_slope * pre)
+            # sentinel edges: all gathered stats are 0 -> att = 1e16 but
+            # every cotangent below multiplies a gathered 0, staying 0
+            att = jnp.exp(act - m_e) / (s_e + 1e-16)  # [1, C]
+
+            datt = jnp.sum(
+                G[:kz, :] * zacc[:kz, :], axis=0, keepdims=True
+            )  # [1, C] = g_e · z_e
+            dalpha = att * (datt - gout_e)
+            dpre = dalpha * jnp.where(pre > 0, 1.0, negative_slope)  # [1, C]
+
+            # per-edge cotangent columns [att·g | dpre] (rows above kz zero)
+            ct = jnp.where(
+                krow == kz, dpre,
+                jnp.where(krow < kz, G[:k_pad, :] * att, 0.0),
+            ).astype(t_dtype)  # [k_pad, C]
+
+            def sbody(w, _):
+                start = (win0 + w) * _BR
+                srow_ids = (
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (_BR, chunk), dimension=0
+                    )
+                    + start
+                )
+                oh = (src_ids == srow_ids).astype(t_dtype)
+                # sublane-dim slice update: lane-dim dynamic RMW is slow on
+                # Mosaic, so the accumulator is row-major [n_pad, k_pad]
+                dpk_ref[pl.ds(start, _BR), :] += jax.lax.dot_general(
+                    oh, ct,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )  # [_BR, k_pad]
+                return ()
+
+            jax.lax.fori_loop(0, n_win, sbody, (), unroll=False)
+
+            dadst_ref[:] += jax.lax.dot_general(
+                oh_d, dpre,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )  # [R, 1]
+            return ()
+
+        jax.lax.fori_loop(c_lo, c_hi, body, (), unroll=False)
+
+    return _kernel
+
+
+def _flash_bwd_impl(packed_t, gtab, src, dst, num_rows, kz, negative_slope,
+                    interpret, transport):
+    """gtab: [n_out, kg_pad] f32 = [g | g·out | m | s | a_dst] (zero-padded).
+    Returns (dpacked_t [k_pad, n_src_pad] f32, da_dst [num_rows] f32)."""
+    t_dtype = jnp.bfloat16 if transport == "bf16" else jnp.float32
+    k, k_pad, n_src_pad = _layout(num_rows, kz)
+    kg_pad = max(8, _cdiv(kz + 4, 8) * 8)
+    e = dst.shape[0]
+    e_pad = _cdiv(e, _FC_BWD) * _FC_BWD
+    n_chunks = e_pad // _FC_BWD
+    n_blocks = _cdiv(num_rows, _R)
+    n_out = n_blocks * _R
+    assert gtab.shape == (n_out, kg_pad), (gtab.shape, (n_out, kg_pad))
+
+    packed_t = packed_t.astype(t_dtype)
+    if e_pad != e:
+        src = jnp.pad(src, (0, e_pad - e), constant_values=num_rows)
+        dst = jnp.pad(dst, (0, e_pad - e), constant_values=num_rows)
+    src = src.astype(jnp.int32)
+    dst = dst.astype(jnp.int32)
+
+    chunk_bounds = _block_chunk_bounds(dst, n_blocks, _FC_BWD)
+    win_meta = _chunk_window_meta(src, n_chunks, _FC_BWD, num_rows)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (_R, kg_pad), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (k_pad, n_src_pad), lambda i, *_: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),  # src ids
+            pl.BlockSpec(memory_space=pl.ANY),  # dst ids
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (n_src_pad, k_pad), lambda i, *_: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((_R, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 1, _FC_BWD), jnp.int32),
+            pltpu.VMEM((2, 1, _FC_BWD), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    itemsize = 2 if t_dtype == jnp.bfloat16 else 4
+    dpk, dadst = pl.pallas_call(
+        _make_flash_bwd_kernel(_FC_BWD, k_pad, kg_pad, kz, t_dtype,
+                               negative_slope),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_src_pad, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_out, 1), jnp.float32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * e_pad * (k_pad + kg_pad) * (_BR + _R) * 2,
+            bytes_accessed=(
+                e_pad * 8
+                + n_out * kg_pad * 4
+                + k_pad * n_src_pad * (itemsize + 4)
+            ),
+            transcendentals=e_pad,
+        ),
+    )(chunk_bounds, win_meta, gtab, packed_t,
+      src.reshape(1, -1), dst.reshape(1, -1))
+    return dpk.T, dadst[:num_rows, 0]
+
+
+def _bwd_fits_vmem(num_rows, kz, transport):
+    _, k_pad, n_src_pad = _layout(num_rows, kz)
+    itemsize = 2 if transport == "bf16" else 4
+    table = k_pad * n_src_pad * itemsize
+    acc = k_pad * n_src_pad * 4
+    return table + acc <= 2 * _TABLE_VMEM_BYTES and table <= _TABLE_VMEM_BYTES
+
+
+# ------------------------------------------------------------------ custom_vjp
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
-def flash_gat_attention(packed, a_dst, src, dst, src_perm, src_sorted,
+def flash_gat_attention(packed_t, a_dst, src, dst, src_perm, src_sorted,
                         num_rows, kz, negative_slope=0.2, interpret=False,
                         transport="f32"):
     """out[i] = Σ_e softmax_dst(leaky_relu(a_dst[i] + a_src[j]))_e · z[j]
     for single-head GAT over a block-monotone edge list.
 
-    packed: [N, kz+1] = ``[z | a_src]`` (transport dtype or f32);
-    a_dst: [N] f32 destination logits; src/dst: int[E] with padding
-    sentinel ``num_rows``; src_perm/src_sorted: the StepGraph's src-sorted
-    permutation (scatter fallback in the backward when the node table
-    exceeds VMEM).  Differentiable in packed and a_dst."""
+    packed_t: [k_pad, n_src_pad] column-major ``[z | a_src]`` table
+    (pack_gat_table); a_dst: [num_rows] f32 destination logits; src/dst:
+    int[E] with padding sentinel ``dst == num_rows``; src_perm/src_sorted:
+    the StepGraph's src-sorted permutation (composed fallback in the
+    backward when the node table exceeds VMEM).  Differentiable in packed_t
+    and a_dst."""
     out, _, _ = _flash_forward_impl(
-        packed, a_dst, src, dst, num_rows, kz, negative_slope, interpret,
+        packed_t, a_dst, src, dst, num_rows, kz, negative_slope, interpret,
         transport,
     )
     return out
 
 
-def _flash_fwd(packed, a_dst, src, dst, src_perm, src_sorted, num_rows, kz,
+def _flash_fwd(packed_t, a_dst, src, dst, src_perm, src_sorted, num_rows, kz,
                negative_slope, interpret, transport):
     out, m, s = _flash_forward_impl(
-        packed, a_dst, src, dst, num_rows, kz, negative_slope, interpret,
+        packed_t, a_dst, src, dst, num_rows, kz, negative_slope, interpret,
         transport,
     )
-    return out, (packed, a_dst, src, dst, src_perm, src_sorted, m, s, out)
+    return out, (packed_t, a_dst, src, dst, src_perm, src_sorted, m, s, out)
 
 
 def _flash_bwd(num_rows, kz, negative_slope, interpret, transport, res, g):
-    from . import config as _cfg
-
-    packed, a_dst, src, dst, src_perm, src_sorted, m, s, out = res
+    packed_t, a_dst, src, dst, src_perm, src_sorted, m, s, out = res
     n = num_rows
     g = g.astype(jnp.float32)
+    _, k_pad, n_src_pad = _layout(num_rows, kz)
 
-    # one dst broadcast: per-edge [g_i, (g·out)_i, m_i, s_i, a_dst_i]
+    # The one-pass megakernel is kept for interpret-mode validation and as
+    # an option, but measured SLOWER than the composed kernel pipeline on
+    # v5e at bench scale (5.1 vs 4.3 ms/step end-to-end: its serialized
+    # double window walk + stat matmuls lose to the individually tuned
+    # broadcast/gather/scatter kernels).  Composed is the TPU default.
+    from . import config as _cfg_mod
+
+    use_mega = interpret or (
+        getattr(_cfg_mod, "FLASH_BWD_MEGA", False)
+        and _on_tpu() and _bwd_fits_vmem(num_rows, kz, transport)
+    )
+    if use_mega:
+        kg_pad = max(8, _cdiv(kz + 4, 8) * 8)
+        n_blocks = _cdiv(num_rows, _R)
+        n_out = n_blocks * _R
+        gtab = jnp.zeros((n_out, kg_pad), jnp.float32)
+        gtab = gtab.at[:n, :kz].set(g)
+        gtab = gtab.at[:n, kz].set(jnp.sum(g * out, axis=1))
+        gtab = gtab.at[:n, kz + 1].set(m)
+        gtab = gtab.at[:n, kz + 2].set(s)
+        # pre-round a_dst to the transport dtype so the recomputed logits
+        # match the forward kernel's (which gathered a t_dtype a_dst) exactly
+        t_dtype = jnp.bfloat16 if transport == "bf16" else jnp.float32
+        gtab = gtab.at[:n, kz + 3].set(
+            a_dst.astype(t_dtype).astype(jnp.float32)
+        )
+        dpk, da_dst = _flash_bwd_impl(
+            packed_t, gtab, src, dst, num_rows, kz, negative_slope,
+            interpret, transport,
+        )
+        return (dpk.astype(packed_t.dtype), da_dst.astype(a_dst.dtype),
+                None, None, None, None)
+
+    # Composed pipeline (the TPU default): dst stat broadcast, src re-gather,
+    # localized scatter / perm-gather segsum, 1-col segsum.  The glue stays
+    # COLUMN-major ([K, E]) end to end — the kernels are feature-major
+    # inside, so row-major glue would pay four [E, K]-scale transposes per
+    # step (broadcast out, gather out, scatter in, plus the packed view).
+    from . import config as _cfg
+    from .pallas_segment import (
+        _broadcast_forward,
+        localized_scatter_add_pallas,
+        scatter_fits_vmem,
+        segment_sum_auto,
+    )
+
+    t_dtype = jnp.bfloat16 if transport == "bf16" else jnp.float32
+    k = kz + 1
     table = jnp.concatenate(
         [
             g,
             jnp.sum(g * out, axis=1, keepdims=True),
             m[:, None],
             s[:, None],
-            a_dst.astype(jnp.float32)[:, None],
+            # pre-rounded so the recomputed logits match the forward
+            # kernel's (which gathered a t_dtype a_dst) exactly
+            a_dst.astype(t_dtype).astype(jnp.float32)[:, None],
         ],
         axis=1,
     )
-    te = sorted_broadcast_auto(table, dst, n, exact=False)
-    g_e, gout_e = te[:, :kz], te[:, kz]
-    m_e, s_e, adst_e = te[:, kz + 1], te[:, kz + 2], te[:, kz + 3]
-
-    # one src re-gather of the packed table (flash recompute)
-    from .gather import gather_rows
-
-    pk_e = gather_rows(packed, src, src_perm, src_sorted, n)
-    z_e = pk_e[:, :kz].astype(jnp.float32)
-    a_src_e = pk_e[:, kz].astype(jnp.float32)
+    k_tab = kz + 4
+    e = dst.shape[0]
+    use_kernels = _cfg.resolve(
+        None, _on_tpu() and k_tab <= 128 and e >= 65536
+    ) and k_tab <= 128
+    if use_kernels:
+        te_t = _broadcast_forward(
+            table, dst, n, interpret, exact=False, out_transposed=True
+        )  # [kz+4, E] f32
+        pk_t = _broadcast_forward(
+            None, src, n, interpret, exact=False, out_transposed=True,
+            v_t=packed_t, k=k,
+        )  # [kz+1, E] (transport dtype)
+    else:
+        safe_dst = jnp.minimum(dst, n - 1)
+        mask = (dst < n).astype(jnp.float32)
+        te_t = table.T[:, safe_dst] * mask[None]
+        safe_src = jnp.minimum(src, n - 1)
+        pk_t = packed_t[:k, :][:, jnp.minimum(safe_src, n - 1)] * (
+            (src < n).astype(packed_t.dtype)[None]
+        )
+    g_e = te_t[:kz]  # [kz, E]
+    gout_e, m_e, s_e, adst_e = te_t[kz], te_t[kz + 1], te_t[kz + 2], te_t[kz + 3]
+    z_e = pk_t[:kz].astype(jnp.float32)
+    a_src_e = pk_t[kz].astype(jnp.float32)
 
     pre = adst_e + a_src_e
     act = jnp.where(pre > 0, pre, negative_slope * pre)
     att = jnp.where(dst < n, jnp.exp(act - m_e) / (s_e + 1e-16), 0.0)
 
-    datt = jnp.sum(g_e * z_e, axis=1)
+    datt = jnp.sum(g_e * z_e, axis=0)
     dalpha = att * (datt - gout_e)
     dpre = dalpha * jnp.where(pre > 0, 1.0, negative_slope)
 
-    # grads into source rows: dz_j = att·g_i, da_src_j = dpre — one scatter
-    ct_src = jnp.concatenate([att[:, None] * g_e, dpre[:, None]], axis=1)
-    k = kz + 1
+    ct_t = jnp.concatenate([att[None] * g_e, dpre[None]], axis=0)  # [k, E]
     use_scatter = _cfg.resolve(
         None,
-        _on_tpu() and k <= 128 and ct_src.shape[0] >= 65536
-        and scatter_fits_vmem(n, k),
+        _on_tpu() and k <= 128 and e >= 65536 and scatter_fits_vmem(n, k),
     ) and (k <= 128 and scatter_fits_vmem(n, k))
     if use_scatter:
         dpacked = localized_scatter_add_pallas(
-            ct_src, src, n, transport=_cfg.SEGSUM_TRANSPORT
+            None, src, n, transport=_cfg.SEGSUM_TRANSPORT, ct_t=ct_t
         )
     else:
-        dpacked = segment_sum_auto(ct_src[src_perm], src_sorted, n)
+        dpacked = segment_sum_auto(ct_t.T[src_perm], src_sorted, n)
     da_dst = segment_sum_auto(dpre[:, None], dst, n)[:, 0]
 
-    return (dpacked.astype(packed.dtype), da_dst.astype(a_dst.dtype),
+    dpk = jnp.zeros((k_pad, n_src_pad), jnp.float32).at[:k, :n].set(dpacked.T)
+    return (dpk.astype(packed_t.dtype), da_dst.astype(a_dst.dtype),
             None, None, None, None)
 
 
 flash_gat_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
-def flash_gat_reference(packed, a_dst, src, dst, num_rows, kz,
+def flash_gat_reference(packed_t, a_dst, src, dst, num_rows, kz,
                         negative_slope=0.2):
     """Pure-XLA oracle with identical semantics (tests + off-TPU path)."""
     from .segment import segment_softmax
 
-    z = packed[:, :kz].astype(jnp.float32)
-    a_src = packed[:, kz].astype(jnp.float32)
+    z = packed_t[:kz, :num_rows].T.astype(jnp.float32)
+    a_src = packed_t[kz, :num_rows].astype(jnp.float32)
     safe_src = jnp.minimum(src, num_rows - 1)
     safe_dst = jnp.minimum(dst, num_rows - 1)
     real = dst < num_rows

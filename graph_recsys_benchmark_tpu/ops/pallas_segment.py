@@ -482,25 +482,45 @@ def _make_broadcast_kernel(chunk, k_pad, v_dtype, exact):
 def _chunk_window_meta(idx, n_chunks, chunk, num_rows):
     """Per-chunk [first_window, n_windows] over 128-row windows of v.
 
-    Padding lanes (idx == num_rows) are excluded from the min so a chunk of
-    real rows + sentinel padding doesn't blow its window span; all-padding
-    chunks degenerate to one window at the sentinel row (zero pad region)."""
+    Padding lanes (idx == num_rows) are excluded from BOTH ends of the span:
+    sentinel rows need no window (an uncovered id simply never matches a
+    one-hot row, contributing exactly 0), so a tail chunk mixing real edges
+    with sentinel padding spans only its real rows.  All-padding chunks
+    degenerate to one window at the sentinel row (zero pad region)."""
     by_chunk = idx.reshape(n_chunks, chunk)
-    lo = jnp.min(jnp.where(by_chunk >= num_rows, num_rows, by_chunk), axis=1)
-    hi = jnp.max(by_chunk, axis=1)
+    real = by_chunk < num_rows
+    lo = jnp.min(jnp.where(real, by_chunk, num_rows), axis=1)
+    hi = jnp.max(jnp.where(real, by_chunk, lo[:, None]), axis=1)
     row0_blk = lo // _BR
     n_win = _cdiv(hi + 1 - row0_blk * _BR, _BR)
     return jnp.stack([row0_blk, n_win], axis=1).astype(jnp.int32)
 
 
-def _broadcast_forward(v, dst, num_rows, interpret, exact=True):
-    squeeze = v.ndim == 1
-    if squeeze:
-        v = v[:, None]
-    n, k = v.shape
+def _broadcast_forward(v, dst, num_rows, interpret, exact=True,
+                       out_transposed=False, v_t=None, k=None):
+    """v[dst] via the localized one-hot gather kernel.
+
+    v: [N] / [N, K] row-major table — OR pass the pre-built column-major
+    padded table via ``v_t`` ([k_pad, n_pad], e.g. flash_gat.pack_gat_table)
+    with its true column count ``k`` to skip the transpose prep.
+    out_transposed=True returns the kernel's native [K, E] layout (the
+    kernel emits feature-major blocks; the default row-major return pays an
+    [E, K] transpose — callers doing column-major glue should not)."""
+    squeeze = False
+    if v_t is None:
+        squeeze = v.ndim == 1
+        if squeeze:
+            v = v[:, None]
+        n, k = v.shape
+        v_dtype = jnp.bfloat16 if v.dtype == jnp.bfloat16 else jnp.float32
+    else:
+        assert k is not None, "v_t requires the true column count k"
+        v_dtype = (
+            jnp.bfloat16 if v_t.dtype == jnp.bfloat16 else jnp.float32
+        )
+        n = num_rows
     k_pad = max(8, _cdiv(k, 8) * 8)
     assert k <= 128, "localized gather supports K <= 128 columns"
-    v_dtype = jnp.bfloat16 if v.dtype == jnp.bfloat16 else jnp.float32
     e = dst.shape[0]
     bc = _edge_chunk(k_pad)
     e_pad = _cdiv(e, bc) * bc
@@ -509,9 +529,13 @@ def _broadcast_forward(v, dst, num_rows, interpret, exact=True):
     # _BR rows; pad so every window stays in bounds
     n_pad = _cdiv(num_rows + 1, _BR) * _BR + _BR
 
-    v_t = jnp.zeros((k_pad, n_pad), v_dtype).at[:k, :n].set(
-        v.astype(v_dtype).T
-    )
+    if v_t is None:
+        v_t = jnp.zeros((k_pad, n_pad), v_dtype).at[:k, :n].set(
+            v.astype(v_dtype).T
+        )
+    else:
+        assert v_t.shape == (k_pad, n_pad), (v_t.shape, (k_pad, n_pad))
+        v_t = v_t.astype(v_dtype)
     if e_pad != e:
         dst = jnp.pad(dst, (0, e_pad - e), constant_values=num_rows)
     dst = dst.astype(jnp.int32)
@@ -545,6 +569,8 @@ def _broadcast_forward(v, dst, num_rows, interpret, exact=True):
             transcendentals=0,
         ),
     )(meta, v_t, dst.reshape(1, -1))
+    if out_transposed:
+        return out[:k, :e]  # [K, E] — the kernel's native layout
     out = out[:k, :e].T  # [E, K]
     return out[:, 0] if squeeze else out
 
@@ -627,22 +653,29 @@ def _make_scatter_kernel(chunk, k_pad, ct_dtype):
     return _kernel
 
 
-def localized_scatter_add_pallas(ct, idx, num_rows, interpret=False, transport="f32"):
+def localized_scatter_add_pallas(ct, idx, num_rows, interpret=False,
+                                 transport="f32", ct_t=None):
     """Segment-sum `ct[E, K]` by `idx[E]` into `[num_rows, K]` with a
     VMEM-resident accumulator; `idx` needs NO ordering (window metadata is
     per-chunk min/max — locality only buys speed).  Padding edges must carry
     zero ct (the same invariant the perm-gather backward relied on).
+    Callers holding the cotangent column-major already (the flash backward
+    glue) pass ``ct_t`` [K, E] instead of ct and skip the transpose prep.
     Requires num_rows_pad * K_pad * 4B to fit VMEM — gate via
     `scatter_fits_vmem`."""
-    e, k = ct.shape
-    k_pad = max(8, _cdiv(k, 8) * 8)
     ct_dtype = jnp.bfloat16 if transport == "bf16" else jnp.float32
+    if ct_t is not None:
+        k, e = ct_t.shape
+        ct_t = ct_t.astype(ct_dtype)
+    else:
+        e, k = ct.shape
+        ct_t = ct.astype(ct_dtype).T  # [K, E]
+    k_pad = max(8, _cdiv(k, 8) * 8)
     sc = _scatter_chunk(k_pad)
     e_pad = _cdiv(e, sc) * sc
     n_chunks = e_pad // sc
     n_pad = _cdiv(num_rows + 1, _BR) * _BR
 
-    ct_t = ct.astype(ct_dtype).T  # [K, E]
     if k_pad != k or e_pad != e:
         ct_t = jnp.pad(ct_t, ((0, k_pad - k), (0, e_pad - e)))
     if e_pad != e:

@@ -1,11 +1,14 @@
-"""Flash-GAT megakernel vs the XLA oracle — values and gradients.
+"""Flash-GAT megakernels vs the XLA oracle — values and gradients.
 
-The kernel fuses gather + logits + segment-softmax + weighted segment-sum
-(models/pea._fused_gat_step's edge pipeline) into one Pallas pass; these
-tests run it in interpret mode on the CPU mesh against
+The forward kernel fuses gather + logits + segment-softmax + weighted
+segment-sum (models/pea._fused_gat_step's edge pipeline) into one Pallas
+pass; the backward megakernel fuses the dst stat broadcast, src re-gather,
+cotangent scatter and da_dst segment-sum into another.  These tests run
+both in interpret mode on the CPU mesh against
 ops.flash_gat.flash_gat_reference (itself tested against PyG semantics via
 tests/test_convs.py) in value and gradient, over block-ordered and fully
 sorted edge lists, with and without padding edges, f32 and bf16 transport.
+The composed non-VMEM fallback backward is exercised separately.
 """
 
 import jax
@@ -13,9 +16,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from graph_recsys_benchmark_tpu.ops import flash_gat as fg
 from graph_recsys_benchmark_tpu.ops.flash_gat import (
     flash_gat_attention,
     flash_gat_reference,
+    pack_gat_table,
 )
 
 
@@ -24,7 +29,7 @@ def _block_order(src, dst):
     return src[order], dst[order]
 
 
-def _make_case(rng, n, e, kz, pad=0, block_order=True):
+def _make_case(rng, n, e, kz, pad=0, block_order=True, t_dtype=jnp.float32):
     src = rng.integers(0, n, size=e).astype(np.int32)
     dst = rng.integers(0, n, size=e).astype(np.int32)
     if block_order:
@@ -35,10 +40,12 @@ def _make_case(rng, n, e, kz, pad=0, block_order=True):
     if pad:
         src = np.concatenate([src, np.full(pad, n, np.int32)])
         dst = np.concatenate([dst, np.full(pad, n, np.int32)])
-    packed = rng.standard_normal((n, kz + 1)).astype(np.float32)
+    z_t = rng.standard_normal((kz, n)).astype(np.float32)
+    a_src = rng.standard_normal(n).astype(np.float32)
     a_dst = rng.standard_normal(n).astype(np.float32)
+    packed_t = pack_gat_table(jnp.asarray(z_t), jnp.asarray(a_src), n, t_dtype)
     perm = np.argsort(src, kind="stable").astype(np.int32)
-    return packed, a_dst, src, dst, perm, src[perm]
+    return packed_t, a_dst, src, dst, perm, src[perm]
 
 
 @pytest.mark.parametrize("block_order", [True, False])
@@ -46,20 +53,23 @@ def _make_case(rng, n, e, kz, pad=0, block_order=True):
 def test_flash_gat_forward_matches_oracle(block_order, pad):
     rng = np.random.default_rng(0 if block_order else 1)
     n, e, kz = 300, 2500, 16
-    packed, a_dst, src, dst, perm, src_sorted = _make_case(
+    packed_t, a_dst, src, dst, perm, src_sorted = _make_case(
         rng, n, e, kz, pad=pad, block_order=block_order
     )
     out = flash_gat_attention(
-        packed, a_dst, src, dst, perm, src_sorted, n, kz, 0.2, True, "f32"
+        packed_t, a_dst, src, dst, perm, src_sorted, n, kz, 0.2, True, "f32"
     )
-    ref = flash_gat_reference(packed, a_dst, src, dst, n, kz)
+    ref = flash_gat_reference(packed_t, a_dst, src, dst, n, kz)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
 def test_flash_gat_gradients_match_oracle():
+    """Backward megakernel (interpret mode) vs oracle autodiff."""
     rng = np.random.default_rng(2)
     n, e, kz = 260, 2100, 8
-    packed, a_dst, src, dst, perm, src_sorted = _make_case(rng, n, e, kz, pad=12)
+    packed_t, a_dst, src, dst, perm, src_sorted = _make_case(
+        rng, n, e, kz, pad=12
+    )
     cot = rng.standard_normal((n, kz)).astype(np.float32)
 
     def f_kernel(p, a):
@@ -71,10 +81,37 @@ def test_flash_gat_gradients_match_oracle():
     def f_ref(p, a):
         return jnp.sum(flash_gat_reference(p, a, src, dst, n, kz) * cot)
 
-    # jit: the backward gathers with the padding sentinel (clamped in XLA,
-    # out-of-bounds in eager numpy indexing) — production is always jitted
-    gp, ga = jax.jit(jax.grad(f_kernel, argnums=(0, 1)))(packed, a_dst)
-    gp_ref, ga_ref = jax.grad(f_ref, argnums=(0, 1))(packed, a_dst)
+    gp, ga = jax.jit(jax.grad(f_kernel, argnums=(0, 1)))(packed_t, a_dst)
+    gp_ref, ga_ref = jax.grad(f_ref, argnums=(0, 1))(packed_t, a_dst)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gp_ref), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(ga_ref), atol=3e-5)
+
+
+def test_flash_gat_composed_fallback_backward_matches_oracle():
+    """The non-VMEM fallback path (ml-25m-scale tables) — composed from the
+    round-1 kernels, here dispatched to their XLA oracles on CPU."""
+    rng = np.random.default_rng(5)
+    n, e, kz = 260, 2100, 8
+    packed_t, a_dst, src, dst, perm, src_sorted = _make_case(
+        rng, n, e, kz, pad=12
+    )
+    cot = jnp.asarray(rng.standard_normal((n, kz)).astype(np.float32))
+
+    out, m, s = fg._flash_forward_impl(
+        packed_t, jnp.asarray(a_dst), jnp.asarray(src), jnp.asarray(dst),
+        n, kz, 0.2, True, "f32",
+    )
+    res = (packed_t, jnp.asarray(a_dst), jnp.asarray(src), jnp.asarray(dst),
+           jnp.asarray(perm), jnp.asarray(src_sorted), m, s, out)
+    # interpret=False on CPU -> use_mega False -> composed fallback
+    gp, ga, *_ = jax.jit(
+        lambda r, c: fg._flash_bwd(n, kz, 0.2, False, "f32", r, c)
+    )(res, cot)
+
+    def f_ref(p, a):
+        return jnp.sum(flash_gat_reference(p, a, src, dst, n, kz) * cot)
+
+    gp_ref, ga_ref = jax.grad(f_ref, argnums=(0, 1))(packed_t, jnp.asarray(a_dst))
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gp_ref), atol=3e-5)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(ga_ref), atol=3e-5)
 
@@ -82,14 +119,48 @@ def test_flash_gat_gradients_match_oracle():
 def test_flash_gat_bf16_transport_close():
     rng = np.random.default_rng(3)
     n, e, kz = 300, 2500, 16
-    packed, a_dst, src, dst, perm, src_sorted = _make_case(rng, n, e, kz, pad=20)
-    out = flash_gat_attention(
-        packed.astype(jnp.bfloat16), a_dst, src, dst, perm, src_sorted,
-        n, kz, 0.2, True, "bf16",
+    packed_t, a_dst, src, dst, perm, src_sorted = _make_case(
+        rng, n, e, kz, pad=20, t_dtype=jnp.bfloat16
     )
-    ref = flash_gat_reference(packed, a_dst, src, dst, n, kz)
+    out = flash_gat_attention(
+        packed_t, a_dst, src, dst, perm, src_sorted, n, kz, 0.2, True, "bf16"
+    )
+    ref = flash_gat_reference(packed_t, a_dst, src, dst, n, kz)
     # bf16 transport costs ~3 mantissa bits on z and the logits
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0.05)
+
+
+def test_flash_gat_bf16_gradients_close():
+    rng = np.random.default_rng(6)
+    n, e, kz = 300, 2500, 16
+    packed_t, a_dst, src, dst, perm, src_sorted = _make_case(
+        rng, n, e, kz, pad=20, t_dtype=jnp.bfloat16
+    )
+    cot = rng.standard_normal((n, kz)).astype(np.float32)
+
+    def f_kernel(p, a):
+        out = flash_gat_attention(
+            p, a, src, dst, perm, src_sorted, n, kz, 0.2, True, "bf16"
+        )
+        return jnp.sum(out * cot)
+
+    def f_ref(p, a):
+        # the kernel's logits ride bf16 transport, which can flip the sign
+        # of near-zero pre-activations — the leaky-ReLU kink then picks a
+        # different slope than an f32 oracle would.  The kernel backward is
+        # consistent with ITS forward, so the oracle must see the same
+        # rounded a_dst to make kink decisions comparable.
+        a_r = a.astype(jnp.bfloat16).astype(jnp.float32)
+        return jnp.sum(flash_gat_reference(p, a_r, src, dst, n, kz) * cot)
+
+    gp, ga = jax.jit(jax.grad(f_kernel, argnums=(0, 1)))(packed_t, a_dst)
+    gp_ref, ga_ref = jax.grad(f_ref, argnums=(0, 1))(
+        packed_t.astype(jnp.float32), jnp.asarray(a_dst)
+    )
+    np.testing.assert_allclose(
+        np.asarray(gp, np.float32), np.asarray(gp_ref), atol=0.08
+    )
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(ga_ref), atol=0.08)
 
 
 def test_flash_gat_isolated_and_empty_rows():
@@ -98,12 +169,16 @@ def test_flash_gat_isolated_and_empty_rows():
     n, kz = 140, 8
     src = np.array([0, 1, 2, 3], np.int32)
     dst = np.array([5, 5, 130, 130], np.int32)
-    packed = rng.standard_normal((n, kz + 1)).astype(np.float32)
+    z_t = rng.standard_normal((kz, n)).astype(np.float32)
+    a_src = rng.standard_normal(n).astype(np.float32)
     a_dst = rng.standard_normal(n).astype(np.float32)
+    packed_t = pack_gat_table(
+        jnp.asarray(z_t), jnp.asarray(a_src), n, jnp.float32
+    )
     perm = np.argsort(src, kind="stable").astype(np.int32)
     out = flash_gat_attention(
-        packed, a_dst, src, dst, perm, src[perm], n, kz, 0.2, True, "f32"
+        packed_t, a_dst, src, dst, perm, src[perm], n, kz, 0.2, True, "f32"
     )
-    ref = flash_gat_reference(packed, a_dst, src, dst, n, kz)
+    ref = flash_gat_reference(packed_t, a_dst, src, dst, n, kz)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
     assert np.all(np.asarray(out)[0] == 0.0)

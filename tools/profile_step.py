@@ -46,16 +46,35 @@ def main():
     with gzip.open(files[-1], "rt") as f:
         trace = json.load(f)
 
-    # device-track complete events: aggregate wall time by op name
+    # resolve process (plane) names so host dispatch isn't conflated with
+    # TensorCore execution; aggregate per device plane only
+    pid_names = {}
+    for ev in trace.get("traceEvents", []):
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            pid_names[ev["pid"]] = ev.get("args", {}).get("name", "?")
+
+    device_pids = {
+        pid
+        for pid, name in pid_names.items()
+        if "TPU" in name or "TensorCore" in name or "/device" in name.lower()
+    }
+
     durs = defaultdict(float)
     counts = defaultdict(int)
+    plane_tot = defaultdict(float)
     for ev in trace.get("traceEvents", []):
         if ev.get("ph") == "X" and "dur" in ev:
-            name = ev.get("name", "?")
-            durs[name] += ev["dur"]
-            counts[name] += 1
+            plane = pid_names.get(ev.get("pid"), "?")
+            plane_tot[plane] += ev["dur"]
+            if ev.get("pid") in device_pids:
+                name = ev.get("name", "?")
+                durs[name] += ev["dur"]
+                counts[name] += 1
+    print("planes:")
+    for p, d in sorted(plane_tot.items(), key=lambda kv: -kv[1]):
+        print(f"  {d/1e3:10.1f} ms  {p}")
     total = sum(durs.values())
-    print(f"total traced op-time: {total/1e3:.1f} ms across {len(durs)} op names")
+    print(f"device op-time: {total/1e3:.1f} ms across {len(durs)} op names")
     for name, d in sorted(durs.items(), key=lambda kv: -kv[1])[:40]:
         print(f"{d/1e3:10.2f} ms  x{counts[name]:<6} {name[:110]}")
 
