@@ -87,6 +87,13 @@ def main():
     trainer, hin = build()
     fused_eps, last_loss = bench_fused(trainer)
 
+    # f32-transport fused number: same kernels, reference-parity numerics —
+    # keeps the kernel-only speedup separable from the precision trade
+    # (round-1 advisor finding)
+    ops_config.SEGSUM_TRANSPORT = "f32"
+    f32_trainer, _ = build()
+    f32_eps, _ = bench_fused(f32_trainer, epochs=1)
+
     # stock-XLA baseline: identical epoch program in the stock numerics —
     # f32 messages, XLA scatter/gather lowering, no custom kernels (what a
     # straight port of the reference's torch-scatter pipeline would run).
@@ -104,6 +111,8 @@ def main():
                 "value": round(fused_eps, 1),
                 "unit": "examples/s/chip",
                 "vs_baseline": round(fused_eps / xla_eps, 3),
+                "value_f32_transport": round(f32_eps, 1),
+                "f32_vs_baseline": round(f32_eps / xla_eps, 3),
             }
         )
     )

@@ -229,6 +229,10 @@ def build_trainer(args, hin, mp_edges):
             num_start=hin.num_users, num_nodes=hin.num_nodes,
         )
         yelp = hin.name.startswith("yelp")
+        # stage-1 walk embeddings cache one level above the hashed run dirs
+        # (keyed by the full stage-1 recipe + seed, walk_trainers.py), like
+        # the reference's random_walk_*.pkl (metapath2vec_solver_bpr.py:197)
+        rw_cache = os.path.join(args.out_dir, hin.name, args.model)
         if model == "MetaPath2Vec":
             steps = (
                 __import__("graph_recsys_benchmark_tpu.data.yelp", fromlist=["YELP_MP2V_STEPS"]).YELP_MP2V_STEPS
@@ -240,12 +244,16 @@ def build_trainer(args, hin, mp_edges):
                        "start_offset": hin.type_accs["item_reviewcount"],
                        "num_start": hin.num_nodes_dict["item_reviewcount"]},
                 )
-            return W.MetaPath2VecTrainer(hin, cfg, tcfg, relation_steps=steps), 0
+            return W.MetaPath2VecTrainer(
+                hin, cfg, tcfg, relation_steps=steps, cache_dir=rw_cache
+            ), 0
         metapaths = (
             __import__("graph_recsys_benchmark_tpu.data.yelp", fromlist=["YELP_HEREC_METAPATHS"]).YELP_HEREC_METAPATHS
             if yelp else W.ML_HEREC_METAPATHS
         )
-        return W.HeRecTrainer(hin, cfg, tcfg, metapaths=metapaths), 0
+        return W.HeRecTrainer(
+            hin, cfg, tcfg, metapaths=metapaths, cache_dir=rw_cache
+        ), 0
     raise ValueError(model)
 
 

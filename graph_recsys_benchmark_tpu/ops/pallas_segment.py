@@ -586,13 +586,19 @@ def sorted_broadcast_pallas(v, dst, num_rows, interpret=False, exact=True):
 
 
 def _bc_fwd(v, dst, num_rows, interpret, exact):
-    return _broadcast_forward(v, dst, num_rows, interpret, exact), (dst, v.ndim)
+    return (
+        _broadcast_forward(v, dst, num_rows, interpret, exact),
+        (dst, v.ndim, jnp.zeros((0,), v.dtype)),
+    )
 
 
 def _bc_bwd(num_rows, interpret, exact, res, g):
-    dst, v_ndim = res
+    dst, v_ndim, dtype_probe = res
     g2 = g[:, None] if v_ndim == 1 else g
     gv = segment_sum_auto(g2, dst, num_rows)
+    # segment accumulation is f32; the cotangent must match the primal
+    # dtype (bf16 tables under the bf16 message-transport config)
+    gv = gv.astype(dtype_probe.dtype)
     return (gv[:, 0] if v_ndim == 1 else gv, None)
 
 

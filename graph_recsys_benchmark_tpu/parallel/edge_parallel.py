@@ -34,9 +34,10 @@ from ..ops.segment import segment_max, segment_sum
 
 
 def shard_step_graph(g: StepGraph, n_shards: int) -> StepGraph:
-    """Split a padded, dst-sorted StepGraph into `n_shards` contiguous,
-    equal-length shards (stacked on a leading axis).  Each shard is itself
-    dst-sorted and PAD_TO-aligned; filler edges use the same padding
+    """Split a padded, block-ordered StepGraph (graph.py's (dst//128, src)
+    order — dst//128 monotone) into `n_shards` contiguous, equal-length
+    shards (stacked on a leading axis).  Each shard inherits the block
+    order and is PAD_TO-aligned; filler edges use the same padding
     convention (dst == num_nodes, w == 0)."""
     e_pad = g.src.shape[0]
     per = -(-e_pad // (n_shards * PAD_TO)) * PAD_TO

@@ -210,5 +210,9 @@ class KGTrainer(GraphEpochEngine):
                 jax.random.split(jax.random.fold_in(kcf, 1), self.num_batches),
             ),
         )
-        del kg_losses  # reference reports phases separately; we report CF
-        return params, opt_state, jnp.mean(cf_losses)
+        # reference tracks the phases separately and checkpoints a 6-tuple
+        # history (kg + cf train losses, kgat_solver_bpr.py:364-375,395-400)
+        return params, opt_state, {
+            "train_loss": jnp.mean(cf_losses),
+            "kg_train_loss": jnp.mean(kg_losses),
+        }

@@ -70,6 +70,30 @@ class Solver:
             }
         return {k: np.asarray(v) for k, v in rec_metrics.items()}
 
+    def _final_metapath_ablation(self):
+        """After ALL runs: reload run 1's latest checkpoint and re-run the
+        metapath-ablation sweep at the final epoch, exactly as the reference
+        does once training finishes (solvers.py:334-392: rebuild the model,
+        `load_model(run_1/latest.pkl)`, then one eval per excluded path)."""
+        run = 1
+        params, opt_state = self.trainer.init(self.seed_base + run)
+        latest = os.path.join(self.out_dir, f"run_{run}", "latest.ckpt")
+        params, opt_state, last_epoch, _ = load_checkpoint(latest, params, opt_state)
+        key = jax.random.PRNGKey(self.seed_base + run)
+        for mp in range(self.num_metapaths):
+            key, ka = jax.random.split(key)
+            ma = self.trainer.evaluate(params, ka, metapath_idx=mp)
+            self.logger.write(
+                "Run: {}, epoch: {}, exclude path:{}, HR@5: {:.4f}, HR@10: {:.4f}, "
+                "HR@15: {:.4f}, HR@20: {:.4f}, NDCG@5: {:.4f}, NDCG@10: {:.4f}, "
+                "NDCG@15: {:.4f}, NDCG@20: {:.4f}, AUC: {:.4f}".format(
+                    run, self.epochs, mp,
+                    float(ma["HR"][0]), float(ma["HR"][5]), float(ma["HR"][10]),
+                    float(ma["HR"][15]), float(ma["NDCG"][0]), float(ma["NDCG"][5]),
+                    float(ma["NDCG"][10]), float(ma["NDCG"][15]), float(ma["AUC"]),
+                )
+            )
+
     def run(self):
         start_run = self.logger.last_run + 1
         t_all = time.perf_counter()
@@ -96,6 +120,16 @@ class Solver:
             for epoch in range(last_epoch + 1, self.epochs + 1):
                 key, ke, kv = jax.random.split(key, 3)
                 params, opt_state, train_loss = self.trainer.run_epoch(params, opt_state, ke)
+                # two-phase trainers (KGAT/KGCN) report per-phase losses as a
+                # dict — the reference checkpoints a 6-tuple history with
+                # separate kg/cf train losses (kgat_solver_bpr.py:364-375)
+                extra_losses = {}
+                if isinstance(train_loss, dict):
+                    extra_losses = {
+                        k: float(v) for k, v in train_loss.items()
+                        if k != "train_loss"
+                    }
+                    train_loss = train_loss["train_loss"]
 
                 if self.metapath_test and epoch == self.epochs:
                     for mp in range(self.num_metapaths):
@@ -119,8 +153,13 @@ class Solver:
                 hist["AUC"] = np.append(hist["AUC"], auc)
                 hist["train_loss"] = np.append(hist["train_loss"], train_loss)
                 hist["eval_loss"] = np.append(hist["eval_loss"], eval_loss)
+                for k, v in extra_losses.items():
+                    hist[k] = np.append(hist.get(k, np.zeros((0,))), v)
 
-                self.logger.log_epoch(run, epoch, hr, ndcg, auc, train_loss, eval_loss)
+                self.logger.log_epoch(
+                    run, epoch, hr, ndcg, auc, train_loss, eval_loss,
+                    extras=extra_losses,
+                )
 
                 if epoch in self.save_epochs:
                     save_checkpoint(
@@ -148,6 +187,9 @@ class Solver:
             self.logger.write(
                 "Run: {}, Duration: {:.2f}s, best HR@10: {:.4f}".format(run, duration, best[5])
             )
+
+        if self.metapath_test and self.num_metapaths:
+            self._final_metapath_ablation()
 
         overall = self.logger.overall()
         if overall:

@@ -85,15 +85,43 @@ def pretrain_mp2v(hin: HINData, relation_steps, cfg: M_mp2v.MP2VConfig, seed,
     return jax.lax.stop_gradient(params["emb"]), float(jnp.mean(losses))
 
 
+def _load_or_pretrain(cache_dir, tag, hin, steps, cfg, seed, lr, batch):
+    """Stage-1 embedding with on-disk caching, like the reference's
+    `random_walk_*.pkl` (metapath2vec_solver_bpr.py:197-222): re-runs and
+    resumes skip the pretraining pass (and its jit) entirely.  Keyed by the
+    full stage-1 recipe + seed; saved atomically."""
+    import hashlib
+    import os
+
+    path = None
+    if cache_dir:
+        key = hashlib.sha1(
+            repr((tag, steps, cfg, lr, batch, seed, hin.num_nodes)).encode()
+        ).hexdigest()[:16]
+        path = os.path.join(cache_dir, f"random_walk_{tag}_{key}.npz")
+        if os.path.isfile(path):
+            data = np.load(path)
+            return jnp.asarray(data["emb"]), float(data["loss"])
+    emb, loss = pretrain_mp2v(hin, steps, cfg, seed, lr=lr,
+                              batch_start_nodes=batch)
+    if path:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = path + ".tmp.npz"
+        np.savez(tmp, emb=np.asarray(emb), loss=np.float32(loss))
+        os.replace(tmp, path)
+    return emb, loss
+
+
 class MetaPath2VecTrainer(GraphEpochEngine):
     """Stage-2 trainer; `init(seed)` runs (or reuses) stage-1 pretraining."""
 
     def __init__(self, hin: HINData, cfg: M_mp2v.MP2VConfig, tcfg,
-                 relation_steps=None, rw_lr=1e-3, rw_batch=8):
+                 relation_steps=None, rw_lr=1e-3, rw_batch=8, cache_dir=None):
         self.cfg = cfg
         self.relation_steps = relation_steps or ML_MP2V_STEPS
         self.rw_lr = rw_lr
         self.rw_batch = rw_batch
+        self.cache_dir = cache_dir
         self.embedding = None  # set at init()
 
         super().__init__(
@@ -106,9 +134,9 @@ class MetaPath2VecTrainer(GraphEpochEngine):
         )
 
     def init(self, seed: int):
-        self.embedding, self.rw_loss = pretrain_mp2v(
-            self.hin, self.relation_steps, self.cfg, seed,
-            lr=self.rw_lr, batch_start_nodes=self.rw_batch,
+        self.embedding, self.rw_loss = _load_or_pretrain(
+            self.cache_dir, "mp2v", self.hin, self.relation_steps, self.cfg,
+            seed, self.rw_lr, self.rw_batch,
         )
         # jitted programs capture self.embedding at first trace; invalidate
         self._epoch_fn = jax.jit(self._epoch)
@@ -118,11 +146,12 @@ class MetaPath2VecTrainer(GraphEpochEngine):
 
 class HeRecTrainer(GraphEpochEngine):
     def __init__(self, hin: HINData, cfg: M_mp2v.MP2VConfig, tcfg,
-                 metapaths=None, rw_lr=1e-3, rw_batch=8):
+                 metapaths=None, rw_lr=1e-3, rw_batch=8, cache_dir=None):
         self.cfg = cfg
         self.metapaths = metapaths or ML_HEREC_METAPATHS
         self.rw_lr = rw_lr
         self.rw_batch = rw_batch
+        self.cache_dir = cache_dir
         self.rk_embeddings = None
         self.acc_uids = hin.type_accs[hin.types[0]]
         self.acc_iids = hin.item_acc
@@ -154,9 +183,9 @@ class HeRecTrainer(GraphEpochEngine):
     def init(self, seed: int):
         embs = []
         for k, mp in enumerate(self.metapaths):
-            emb, _ = pretrain_mp2v(
-                self.hin, mp, self.cfg, seed + 1000 * k,
-                lr=self.rw_lr, batch_start_nodes=self.rw_batch,
+            emb, _ = _load_or_pretrain(
+                self.cache_dir, f"herec{k}", self.hin, mp, self.cfg,
+                seed + 1000 * k, self.rw_lr, self.rw_batch,
             )
             embs.append(emb)
         self.rk_embeddings = tuple(embs)

@@ -37,13 +37,22 @@ class RunLogger:
             f.flush()
             os.fsync(f.fileno())
 
-    def log_epoch(self, run, epoch, hr, ndcg, auc, train_loss, eval_loss):
+    def log_epoch(self, run, epoch, hr, ndcg, auc, train_loss, eval_loss,
+                  extras=None):
+        """extras: extra named losses, e.g. KGAT/KGCN's kg_train_loss
+        (reference prints 'kg train loss' + 'cf train loss' per epoch,
+        kgat_solver_bpr.py:386-394)."""
+        extra_txt = "".join(
+            ", {}: {:.4f}".format(k.replace("_", " "), v)
+            for k, v in (extras or {}).items()
+        )
         self.write(
             "Run: {}, epoch: {}, HR@5: {:.4f}, HR@10: {:.4f}, HR@15: {:.4f}, HR@20: {:.4f}, "
             "NDCG@5: {:.4f}, NDCG@10: {:.4f}, NDCG@15: {:.4f}, NDCG@20: {:.4f}, AUC: {:.4f}, "
-            "train loss: {:.4f}, eval loss: {:.4f}".format(
+            "train loss: {:.4f}, eval loss: {:.4f}{}".format(
                 run, epoch, hr[0], hr[5], hr[10], hr[15],
                 ndcg[0], ndcg[5], ndcg[10], ndcg[15], auc, train_loss, eval_loss,
+                extra_txt,
             )
         )
 

@@ -34,6 +34,9 @@ def _train_epochs(trainer, n=4, seed=2020):
     for _ in range(n):
         key, k = jax.random.split(key)
         params, opt_state, loss = trainer.run_epoch(params, opt_state, k)
+        if isinstance(loss, dict):  # KGAT/KGCN report kg + cf phase losses
+            assert np.isfinite(float(loss["kg_train_loss"]))
+            loss = loss["train_loss"]
         losses.append(float(loss))
     m = trainer.evaluate(params, jax.random.PRNGKey(1))
     return losses, m

@@ -59,3 +59,46 @@ def test_sgd_matches_torch():
         updates, state = opt.update({"w": jnp.asarray(g)}, state, params)
         params = optax.apply_updates(params, updates)
     np.testing.assert_allclose(np.asarray(params["w"]), tw.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_sparse_adam_matches_torch():
+    """scale_by_sparse_adam vs torch.optim.SparseAdam on an embedding whose
+    gradient touches a different row subset each step (the MetaPath2Vec
+    pretraining pattern, metapath2vec_solver_bpr.py:209): untouched rows
+    must stay frozen (no dense-Adam momentum tail)."""
+    rng = np.random.default_rng(1)
+    n, d = 12, 4
+    w0 = rng.standard_normal((n, d)).astype(np.float32)
+
+    temb = torch.nn.Embedding(n, d, sparse=True)
+    with torch.no_grad():
+        temb.weight.copy_(torch.tensor(w0))
+    topt = torch.optim.SparseAdam(temb.parameters(), lr=1e-2)
+
+    params = {"emb": jnp.asarray(w0)}
+    opt = make_optimizer("sparseadam", 1e-2)
+    state = opt.init(params)
+
+    for step in range(6):
+        rows = rng.choice(n, size=4, replace=False)
+        g_rows = rng.standard_normal((4, d)).astype(np.float32)
+        # one row's gradient contains zeros WITHIN a touched row — torch
+        # still updates that whole row (it is present in the sparse COO)
+        g_rows[0, :2] = 0.0
+
+        topt.zero_grad()
+        loss = (temb(torch.tensor(rows)) * torch.tensor(g_rows)).sum()
+        loss.backward()
+        topt.step()
+
+        g_dense = np.zeros((n, d), np.float32)
+        g_dense[rows] = g_rows
+        updates, state = opt.update({"emb": jnp.asarray(g_dense)}, state, params)
+        params = optax.apply_updates(params, updates)
+
+        np.testing.assert_allclose(
+            np.asarray(params["emb"]),
+            temb.weight.detach().numpy(),
+            rtol=1e-5, atol=1e-6,
+            err_msg=f"step {step}",
+        )
