@@ -62,6 +62,13 @@ def build_parser():
         help="edge message-transport dtype; bf16 halves gather/segment HBM "
         "traffic on TPU (f32 accumulation, ~3 fewer mantissa bits/message)",
     )
+    # multi-host runtime (SURVEY.md section 5.8; parallel/multihost.py) —
+    # one process per host; also auto-detected from GRB_*/JAX_COORDINATOR_*
+    # env vars when the flags are absent
+    p.add_argument("--dist_coordinator", default=None,
+                   help="host:port of process 0; enables jax.distributed")
+    p.add_argument("--dist_nprocs", type=int, default=None)
+    p.add_argument("--dist_rank", type=int, default=None)
     # walk-stage params (metapath2vec_solver_bpr.py:36-58)
     p.add_argument("--walk_length", type=int, default=100)
     p.add_argument("--context_size", type=int, default=7)
@@ -259,6 +266,10 @@ def build_trainer(args, hin, mp_edges):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    # must run before anything touches a jax backend
+    from .parallel.multihost import initialize_runtime
+
+    initialize_runtime(args.dist_coordinator, args.dist_nprocs, args.dist_rank)
     if args.message_dtype != "f32":
         from .ops import config as ops_config
 

@@ -11,6 +11,13 @@ from .sharded_embedding import (
     sharded_lookup,
     static_lookup,
 )
+from .multihost import (
+    HostBatchFeed,
+    global_batch,
+    initialize_runtime,
+    make_pod_mesh,
+    process_local_rows,
+)
 
 __all__ = [
     "make_mesh",
@@ -24,4 +31,9 @@ __all__ = [
     "static_lookup",
     "shard_fused_graphs",
     "shard_step_graph",
+    "initialize_runtime",
+    "make_pod_mesh",
+    "process_local_rows",
+    "global_batch",
+    "HostBatchFeed",
 ]

@@ -1,0 +1,156 @@
+"""Multi-host runtime: mesh layout, per-host feed, 2-process CPU cluster.
+
+SURVEY.md section 5.8 / VERDICT round 1 item 3: the reference has no
+distributed runtime; the TPU build must provide `jax.distributed` process
+bring-up, a pod mesh whose dp axis folds the host dimension in DCN-outermost
+order, and per-host batch feeding where no host materializes another host's
+rows.  Single-process pieces are validated on the virtual 8-device mesh;
+the bring-up itself is validated by actually launching a 2-process CPU
+cluster (4 virtual devices each) and training one sharded step on the
+global 8-device mesh.
+"""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import PartitionSpec as P
+
+from graph_recsys_benchmark_tpu.parallel import mesh as mesh_mod
+from graph_recsys_benchmark_tpu.parallel.multihost import (
+    HostBatchFeed,
+    global_batch,
+    initialize_runtime,
+    make_pod_mesh,
+    process_local_rows,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_initialize_runtime_single_process_noop():
+    assert initialize_runtime() is False
+    assert jax.process_count() == 1
+
+
+def test_make_pod_mesh_matches_local_mesh():
+    m = make_pod_mesh(mp=2)
+    assert m.axis_names == ("dp", "mp")
+    assert m.shape["dp"] == 4 and m.shape["mp"] == 2
+
+
+def test_process_local_rows_covers_everything_single_process():
+    m = make_pod_mesh(mp=1)
+    sl = process_local_rows(64, m, "dp")
+    assert (sl.start, sl.stop) == (0, 64)
+
+
+def test_host_batch_feed_round_trips_global_permutation():
+    m = make_pod_mesh(mp=1)
+    feed = HostBatchFeed(n_rows=100, batch_size=32, mesh=m)
+    assert feed.num_batches == 4
+    rng = np.random.default_rng(7)
+    want = rng.permutation(100).astype(np.int32)
+    got_rows, got_mask = [], []
+    for rows, mask in feed.batches(epoch_seed=7):
+        assert rows.sharding.spec == P("dp")
+        got_rows.append(np.asarray(rows))
+        got_mask.append(np.asarray(mask))
+    rows = np.concatenate(got_rows)
+    mask = np.concatenate(got_mask)
+    assert mask.sum() == 100
+    np.testing.assert_array_equal(rows[mask.astype(bool)], want)
+
+
+def test_global_batch_assembles_spec():
+    m = make_pod_mesh(mp=1)
+    arr = global_batch(np.arange(16, dtype=np.int32), m, P("dp"))
+    assert arr.shape == (16,)
+    np.testing.assert_array_equal(np.asarray(arr), np.arange(16))
+
+
+_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    sys.path.insert(0, %(repo)r)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from graph_recsys_benchmark_tpu.parallel.multihost import (
+        HostBatchFeed, initialize_runtime, make_pod_mesh, global_batch,
+    )
+
+    rank = int(sys.argv[1])
+    ok = initialize_runtime(
+        coordinator_address="localhost:%(port)d", num_processes=2, process_id=rank
+    )
+    assert ok and jax.process_count() == 2, jax.process_count()
+    assert len(jax.devices()) == 8
+
+    mesh = make_pod_mesh(mp=1)
+    assert mesh.shape["dp"] == 8
+
+    # per-host feed: each process supplies only its 4-device slice
+    feed = HostBatchFeed(n_rows=60, batch_size=16, mesh=mesh)
+    sl = feed.local
+    assert sl.stop - sl.start == 8  # 16 rows / 8 shards * 4 local shards
+    assert (sl.start == 0) == (rank == 0)
+
+    import jax.numpy as jnp
+
+    @jax.jit
+    def step(rows, mask):
+        return jnp.sum(rows.astype(jnp.float32) * mask)
+
+    tot = 0.0
+    for rows, mask in feed.batches(epoch_seed=3):
+        tot += float(step(rows, mask))
+    # sum over the global permutation of range(60) = 59*60/2
+    assert abs(tot - 1770.0) < 1e-3, tot
+    print("MULTIHOST_OK", rank, tot)
+    """
+)
+
+
+@pytest.mark.slow
+def test_two_process_cpu_cluster(tmp_path):
+    """Launch a real 2-process jax.distributed CPU cluster (4 virtual
+    devices per process, 8 global) and run a dp-sharded step on the global
+    mesh fed host-locally."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER % {"repo": REPO, "port": port})
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(r)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True,
+        )
+        for r in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for r, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {r} failed:\n{out}"
+        assert "MULTIHOST_OK" in out

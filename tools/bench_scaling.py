@@ -1,0 +1,153 @@
+"""DP scaling curve + collective census on the virtual CPU mesh.
+
+VERDICT round 1 item 4: the >=80% 1->N host scaling target (BASELINE.json)
+cannot be proven without pod hardware, but the curve and the collective
+counts can.  For dp in {1,2,4,8} this jits the two sharded training paths —
+
+  dp    : batch-sharded step, replicated table (parallel/spmd.py)
+  a2a   : row-sharded table + static all_to_all lookups (parallel/a2a.py)
+
+at a CONSTANT GLOBAL problem (strong scaling), measures steady-state step
+time, and counts every collective in the compiled HLO.  Results land in
+MULTICHIP_scaling.json.  Absolute CPU times are not TPU times; the
+inspectable quantities are the shape of the curve and that the collective
+mix is the designed one (psum over dp; all-to-all + reduce-scatter on the
+a2a path; NO full-table all-gather).
+"""
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+import numpy as np
+
+COLLECTIVES = ("all-reduce", "all-gather", "all-to-all", "reduce-scatter",
+               "collective-permute")
+
+
+def collective_census(hlo_text):
+    ops = {}
+    for c in COLLECTIVES:
+        # count op INSTANCES (start ops for async pairs counted once)
+        n = len(re.findall(rf"^\s*%?\S*\s*=\s*\S+ {c}(?:-start)?\(", hlo_text, re.M))
+        if n == 0:
+            n = hlo_text.count(f" {c}(") + hlo_text.count(f" {c}-start(")
+        ops[c] = n
+    return ops
+
+
+def build_problem():
+    from graph_recsys_benchmark_tpu.data import build_mlsmall_hin, synthetic_mlsmall_raw
+    from graph_recsys_benchmark_tpu.data.movielens import mlsmall_metapath_edges
+    from graph_recsys_benchmark_tpu.graph import build_metapath_graphs
+    from graph_recsys_benchmark_tpu.models.pea import PEAConfig, pea_init
+    from graph_recsys_benchmark_tpu.train.sampling import (
+        build_device_tables, sample_cf_negatives, sample_entities,
+    )
+
+    movies, ratings, tagging = synthetic_mlsmall_raw(
+        seed=7, num_users=200, num_items=300, min_ratings_per_user=20,
+        max_ratings_per_user=60, num_directors=40, num_actors=100,
+        num_writers=60, num_tags=60, tagging_rows=900,
+    )
+    hin = build_mlsmall_hin(movies, ratings, tagging, num_core=5, num_feat_core=2)
+    cfg = PEAConfig(
+        conv="gat", num_nodes=hin.num_nodes, meta_path_steps=(2,) * 9,
+        emb_dim=64, hidden_size=64, repr_dim=16, entity_aware=True,
+    )
+    params = pea_init(jax.random.PRNGKey(0), cfg)
+    tables = build_device_tables(hin)
+    graphs = build_metapath_graphs(mlsmall_metapath_edges(hin), hin.num_nodes, "gat")
+
+    bs = 512  # global batch, constant across dp (strong scaling)
+    key = jax.random.PRNGKey(1)
+    rows = jax.random.randint(key, (bs,), 0, tables.train_pos.shape[0])
+    u = tables.train_pos[rows, 0]
+    pos_i = tables.train_pos[rows, 1]
+    kneg, kent = jax.random.split(key)
+    neg_i = sample_cf_negatives(kneg, u, tables, "unseen")
+    ents = sample_entities(kent, u, pos_i, tables)
+    batch = np.asarray(
+        jnp.concatenate([u[:, None], pos_i[:, None], neg_i[:, None], ents], axis=1)
+    )
+    return hin, cfg, graphs, params, batch
+
+
+def timed(step, args, iters=8):
+    params, opt_state, loss = step(*args)  # compile + warm
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    a = list(args)
+    for _ in range(iters):
+        params, opt_state, loss = step(params, opt_state, *a[2:])
+    jax.block_until_ready(loss)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    from graph_recsys_benchmark_tpu.data.movielens import mlsmall_metapath_edges
+    from graph_recsys_benchmark_tpu.parallel import (
+        make_a2a_train_step, make_mesh, make_sharded_train_step,
+    )
+    from graph_recsys_benchmark_tpu.train.optim import make_optimizer
+
+    hin, cfg, graphs, params0, batch_np = build_problem()
+    mp_edges = mlsmall_metapath_edges(hin)
+    optimizer = make_optimizer("adam", 1e-3, 1e-3)
+    results = {"problem": {
+        "nodes": int(hin.num_nodes), "train": int(hin.train_pos.shape[0]),
+        "global_batch": int(batch_np.shape[0]), "channels": 9, "conv": "gat",
+    }, "paths": {}}
+
+    for path in ("dp", "a2a"):
+        curve = []
+        for dp in (1, 2, 4, 8):
+            mesh = make_mesh(dp=dp, mp=1)
+            key = jax.random.PRNGKey(2)
+            batch = jnp.asarray(batch_np)
+            mask = jnp.ones(batch.shape[0], dtype=jnp.float32)
+            if path == "dp":
+                _, placement, jitted = make_sharded_train_step(
+                    cfg, graphs, optimizer, mesh
+                )
+                params, opt_state, p_shard, o_shard = placement(
+                    params0, optimizer.init(params0)
+                )
+                step = jitted(params, opt_state, p_shard, o_shard)
+                args = (params, opt_state, batch, mask, key)
+            else:
+                place, _ = make_a2a_train_step(cfg, mp_edges, optimizer, mesh)
+                step, params, opt_state = place(params0, optimizer.init(params0))
+                args = (params, opt_state, batch, mask, key)
+            dt = timed(step, args)
+            hlo = step.lower(*args).compile().as_text()
+            census = collective_census(hlo)
+            curve.append({
+                "dp": dp, "step_ms": round(dt * 1e3, 3), "collectives": census,
+            })
+            print(f"{path} dp={dp}: {dt*1e3:8.2f} ms/step  {census}")
+        base = curve[0]["step_ms"]
+        for c in curve:
+            c["speedup"] = round(base / c["step_ms"], 3)
+            c["efficiency"] = round(base / c["step_ms"] / c["dp"], 3)
+        results["paths"][path] = curve
+
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "MULTICHIP_scaling.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote", out)
+
+
+if __name__ == "__main__":
+    main()
