@@ -32,6 +32,9 @@ def build_parser():
     p.add_argument("--out_dir", default="runs")
     p.add_argument("--num_core", type=int, default=10)
     p.add_argument("--num_feat_core", type=int, default=10)
+    p.add_argument("--candidate_mode", default=None, choices=[None, "dense", "rejection"],
+                   help="negative-candidate structure: 'dense' padded unseen tables "
+                        "(O(U*I)) or 'rejection' seen tables (O(U*K), ml-25m default)")
     p.add_argument("--entity_aware", default="false")
     p.add_argument("--entity_aware_coff", type=float, default=0.1)
     p.add_argument("--emb_dim", type=int, default=64)
@@ -95,7 +98,9 @@ def load_hin(args):
     from .data import yelp as Y
 
     key = json.dumps(
-        [args.dataset, args.raw_dir, args.num_core, args.num_feat_core], sort_keys=True
+        [args.dataset, args.raw_dir, args.num_core, args.num_feat_core,
+         getattr(args, "candidate_mode", None)],
+        sort_keys=True,
     )
     os.makedirs(args.cache_dir, exist_ok=True)
     cache = os.path.join(
@@ -122,34 +127,43 @@ def _build_hin(args):
     from .data import synthetic as S
 
     nc, nfc = args.num_core, args.num_feat_core
+    cm = getattr(args, "candidate_mode", None)
+
+    def _cm(default):
+        return {"candidate_mode": cm or default}
+
     if args.dataset == "synthetic-ml":
         movies, ratings, tagging = S.synthetic_mlsmall_raw(seed=0)
-        return ML.build_mlsmall_hin(movies, ratings, tagging, min(nc, 3), min(nfc, 2))
+        return ML.build_mlsmall_hin(
+            movies, ratings, tagging, min(nc, 3), min(nfc, 2), **_cm("dense")
+        )
     if args.dataset == "synthetic-ml25m":
         raw = S.synthetic_ml25m_raw(seed=0)
-        return ML.build_ml25m_hin(*raw, min(nc, 3), min(nfc, 2))
+        return ML.build_ml25m_hin(*raw, min(nc, 3), min(nfc, 2), **_cm("rejection"))
     if args.dataset == "synthetic-yelp":
         b, u, rt = S.synthetic_yelp_raw(seed=0)
-        return Y.build_yelp_hin(b, u, rt, num_core=4)
+        return Y.build_yelp_hin(b, u, rt, num_core=4, **_cm("dense"))
     if args.dataset == "ml-latest-small":
         from .data.ml_raw import parse_ml_dir
 
         movies, ratings, tagging = parse_ml_dir(args.raw_dir)
         return ML.build_mlsmall_hin(
-            movies, ratings, tagging, nc, nfc, name="ml-latest-small"
+            movies, ratings, tagging, nc, nfc, name="ml-latest-small", **_cm("dense")
         )
     if args.dataset == "ml-25m":
         from .data.ml_raw import parse_ml25m_extras, parse_ml_dir
 
         movies, ratings, tagging = parse_ml_dir(args.raw_dir)
         gs, gt = parse_ml25m_extras(args.raw_dir)
-        return ML.build_ml25m_hin(movies, ratings, tagging, gs, gt, nc, nfc)
+        return ML.build_ml25m_hin(
+            movies, ratings, tagging, gs, gt, nc, nfc, **_cm("rejection")
+        )
     if args.dataset == "yelp":
         from .data.yelp_raw import parse_yelp_dir, preprocess_yelp_raw
 
         b, u, rv, tp, ck = parse_yelp_dir(args.raw_dir)
         b2, u2, rt = preprocess_yelp_raw(b, u, rv, tp, ck)
-        return Y.build_yelp_hin(b2, u2, rt, num_core=nc)
+        return Y.build_yelp_hin(b2, u2, rt, num_core=nc, **_cm("dense"))
     raise ValueError(args.dataset)
 
 

@@ -34,7 +34,7 @@ from collections import Counter
 import numpy as np
 import pandas as pd
 
-from .hin import CandidateTables, EntityFeatureTables, HINData, pad_ragged
+from .hin import EntityFeatureTables, HINData, pad_ragged
 
 YELP_TYPES = [
     "uid", "iid", "user_reviewcount", "user_friendcount", "user_fan",
@@ -133,7 +133,8 @@ def _split_vals(series):
     return [[c for c in str(s).split(",") if c != ""] for s in series]
 
 
-def build_yelp_hin(business, user, reviewtip, num_core=10, name="yelp") -> HINData:
+def build_yelp_hin(business, user, reviewtip, num_core=10, name="yelp",
+                   candidate_mode="dense") -> HINData:
     """Filter + discretize + build the 11-type HIN.  Inputs are the
     post-parse dataframes: business(business_id, stars, review_count,
     attributes, categories, checkin_count, is_open), user(user_id,
@@ -218,25 +219,17 @@ def build_yelp_hin(business, user, reviewtip, num_core=10, name="yelp") -> HINDa
 
     num_users = num_nodes_dict["uid"]
     num_items = num_nodes_dict["iid"]
-    test_u = test_r.user_id.to_numpy()
-    test_i = test_r.business_id.to_numpy() + type_accs["iid"]
-    order = np.argsort(test_u, kind="stable")
-    test_u, test_i = test_u[order], test_i[order]
-    assert test_u.shape[0] == num_users
+    # shared candidate builder (movielens.build_candidates): 'dense' padded
+    # unseen tables for the filtered-Yelp scale, 'rejection' seen tables for
+    # larger cuts — the same O(U*K) escape hatch the ML builders have
+    # (round-1 review: the dense-only Yelp path was a latent scale bug)
+    from .movielens import build_candidates
 
-    seen = reviewtip.groupby("user_id").business_id.apply(set)
-    all_items = set(range(num_items))
-    neg_lists = [
-        np.fromiter(
-            (i + type_accs["iid"] for i in sorted(all_items - seen[u])), dtype=np.int64
-        )
-        for u in range(num_users)
-    ]
-    neg_table, neg_counts = pad_ragged(neg_lists)
-    candidates = CandidateTables(
-        test_users=(np.arange(num_users) + type_accs["uid"]).astype(np.int32),
-        cand=np.concatenate([test_i[:, None].astype(np.int32), neg_table], axis=1),
-        neg_counts=neg_counts,
+    candidates = build_candidates(
+        reviewtip.rename(columns={"user_id": "uid", "business_id": "iid"}),
+        test_r.user_id.to_numpy(),
+        test_r.business_id.to_numpy() + type_accs["iid"],
+        num_users, num_items, type_accs, candidate_mode,
     )
 
     # entity-aware feature tables (yelp.py:768-823)

@@ -38,6 +38,20 @@ def resolve(use_pallas, default):
         return FORCE_PALLAS
     return default
 
+# Per-TILE VMEM byte budget for the localized scatter-add accumulator
+# (~16 MiB VMEM/core on v5e; leave room for edge-chunk blocks).  Node
+# tables larger than one tile split into ceil(bytes/budget) row tiles; the
+# kernel makes one pass over the edge chunks per tile (each pass re-reads
+# the cotangent blocks), clamping every chunk's window span to the tile.
+VMEM_TABLE_BUDGET = 6 * 1024 * 1024
+
+# Max scatter row-tiles before falling back to the permuted sorted
+# segment-sum.  Each tile costs one extra pass over the [K, E] cotangent
+# (~150 B/edge at bf16 transport) — vs the fallback's E->E permutation
+# gather measured at 8.5 GB/s, even 16 passes win at the ML-25M regime
+# (69k nodes x 72 cols = 4 tiles; BENCH_25m.json before/after).
+MAX_SCATTER_TILES = 16
+
 # Use the one-pass flash-GAT backward megakernel instead of the composed
 # broadcast/gather/scatter pipeline (measured slower on v5e at bench scale;
 # kept for experimentation and interpret-mode validation).

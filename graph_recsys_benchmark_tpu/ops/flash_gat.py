@@ -727,27 +727,34 @@ def _flash_bwd(num_rows, kz, negative_slope, interpret, transport, res, g):
 
     t_dtype = jnp.bfloat16 if transport == "bf16" else jnp.float32
     k = kz + 1
-    table = jnp.concatenate(
+    # Two broadcasts instead of one wide f32 [kz+4, E] stat table: the g
+    # cotangent rides the message-transport dtype ([kz, E] bf16 under bf16
+    # transport — half the HBM bytes of the hottest backward tensor), while
+    # the 3 stat columns stay f32.  m and s fold into one log-denominator
+    # column (att = exp(act − m)/(s+eps) = exp(act − (m + log(s+eps)))), so
+    # the f32 side is [gout | logden | a_dst] — 3 cols, padded to 8.
+    g_tab = g.astype(t_dtype)
+    stats = jnp.stack(
         [
-            g,
-            jnp.sum(g * out, axis=1, keepdims=True),
-            m[:, None],
-            s[:, None],
+            jnp.sum(g * out, axis=1),
+            m + jnp.log(s + 1e-16),
             # pre-rounded so the recomputed logits match the forward
             # kernel's (which gathered a t_dtype a_dst) exactly
-            a_dst.astype(t_dtype).astype(jnp.float32)[:, None],
+            a_dst.astype(t_dtype).astype(jnp.float32),
         ],
         axis=1,
-    )
-    k_tab = kz + 4
+    )  # [N, 3] f32
     e = dst.shape[0]
     use_kernels = _cfg.resolve(
-        None, _on_tpu() and k_tab <= 128 and e >= 65536
-    ) and k_tab <= 128
+        None, _on_tpu() and kz <= 128 and e >= 65536
+    ) and kz <= 128
     if use_kernels:
-        te_t = _broadcast_forward(
-            table, dst, n, interpret, exact=False, out_transposed=True
-        )  # [kz+4, E] f32
+        g_e = _broadcast_forward(
+            g_tab, dst, n, interpret, exact=False, out_transposed=True
+        ).astype(jnp.float32)  # [kz, E]
+        st_e = _broadcast_forward(
+            stats, dst, n, interpret, exact=False, out_transposed=True
+        )  # [3, E] f32
         pk_t = _broadcast_forward(
             None, src, n, interpret, exact=False, out_transposed=True,
             v_t=packed_t, k=k,
@@ -755,19 +762,19 @@ def _flash_bwd(num_rows, kz, negative_slope, interpret, transport, res, g):
     else:
         safe_dst = jnp.minimum(dst, n - 1)
         mask = (dst < n).astype(jnp.float32)
-        te_t = table.T[:, safe_dst] * mask[None]
+        g_e = g_tab.astype(jnp.float32).T[:, safe_dst] * mask[None]
+        st_e = stats.T[:, safe_dst] * mask[None]
         safe_src = jnp.minimum(src, n - 1)
         pk_t = packed_t[:k, :][:, jnp.minimum(safe_src, n - 1)] * (
             (src < n).astype(packed_t.dtype)[None]
         )
-    g_e = te_t[:kz]  # [kz, E]
-    gout_e, m_e, s_e, adst_e = te_t[kz], te_t[kz + 1], te_t[kz + 2], te_t[kz + 3]
+    gout_e, logden_e, adst_e = st_e[0], st_e[1], st_e[2]
     z_e = pk_t[:kz].astype(jnp.float32)
     a_src_e = pk_t[kz].astype(jnp.float32)
 
     pre = adst_e + a_src_e
     act = jnp.where(pre > 0, pre, negative_slope * pre)
-    att = jnp.where(dst < n, jnp.exp(act - m_e) / (s_e + 1e-16), 0.0)
+    att = jnp.where(dst < n, jnp.exp(act - logden_e), 0.0)
 
     datt = jnp.sum(g_e * z_e, axis=0)
     dalpha = att * (datt - gout_e)

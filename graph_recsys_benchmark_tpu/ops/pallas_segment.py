@@ -619,25 +619,35 @@ sorted_broadcast_pallas.defvjp(_bc_fwd, _bc_bwd)
 
 
 
-def _make_scatter_kernel(chunk, k_pad, ct_dtype):
+def _make_scatter_kernel(chunk, k_pad, ct_dtype, wins_per_tile):
     # Scatter-add only serves gradient accumulation (gather backward), so
     # f32 cotangents take the bf16x3 DEFAULT (~2^-21 relative per product,
     # f32 accumulate) — half the MXU passes of HIGHEST.
+    #
+    # Grid is (tiles, chunks): the accumulator block is ONE row-tile of the
+    # node table (whole table when it fits one VMEM tile); pass p clamps
+    # each chunk's window span to tile p's rows, so chunks whose span
+    # misses the tile cost only their block DMA.  Edge chunks are src-local
+    # under the (dst//128, src) block order, so most (tile, chunk) pairs
+    # skip entirely.
     precision = jax.lax.Precision.DEFAULT
 
     def _kernel(meta_ref, ct_ref, idx_ref, out_ref):
-        j = pl.program_id(0)
+        p = pl.program_id(0)
+        j = pl.program_id(1)
 
         @pl.when(j == 0)
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
         win0 = meta_ref[j, 0]
-        n_win = meta_ref[j, 1]
+        w_lo = jnp.maximum(win0, p * wins_per_tile)
+        w_hi = jnp.minimum(win0 + meta_ref[j, 1], (p + 1) * wins_per_tile)
         col_idx = idx_ref[:]  # [1, C]
+        row_off = p * (wins_per_tile * _BR)
 
         def body(w, _):
-            start = (win0 + w) * _BR
+            start = w * _BR
             row_ids = (
                 jax.lax.broadcasted_iota(jnp.int32, (_BR, chunk), dimension=0)
                 + start
@@ -651,10 +661,10 @@ def _make_scatter_kernel(chunk, k_pad, ct_dtype):
                 preferred_element_type=jnp.float32,
                 precision=precision,
             )
-            out_ref[pl.ds(start, _BR), :] += contrib
+            out_ref[pl.ds(start - row_off, _BR), :] += contrib
             return ()
 
-        jax.lax.fori_loop(0, n_win, body, (), unroll=False)
+        jax.lax.fori_loop(w_lo, w_hi, body, (), unroll=False)
 
     return _kernel
 
@@ -681,6 +691,8 @@ def localized_scatter_add_pallas(ct, idx, num_rows, interpret=False,
     e_pad = _cdiv(e, sc) * sc
     n_chunks = e_pad // sc
     n_pad = _cdiv(num_rows + 1, _BR) * _BR
+    n_tiles = scatter_num_tiles(num_rows, k)
+    tile_rows = _cdiv(n_pad, n_tiles * _BR) * _BR
 
     if k_pad != k or e_pad != e:
         ct_t = jnp.pad(ct_t, ((0, k_pad - k), (0, e_pad - e)))
@@ -693,34 +705,50 @@ def localized_scatter_add_pallas(ct, idx, num_rows, interpret=False,
     itemsize = 2 if ct_dtype == jnp.bfloat16 else 4
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_chunks,),
+        grid=(n_tiles, n_chunks),
         in_specs=[
-            pl.BlockSpec((k_pad, sc), lambda j, *_: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sc), lambda j, *_: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_pad, sc), lambda p, j, *_: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sc), lambda p, j, *_: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (n_pad, k_pad), lambda j, *_: (0, 0), memory_space=pltpu.VMEM
+            (tile_rows, k_pad), lambda p, j, *_: (p, 0), memory_space=pltpu.VMEM
         ),
     )
     out = pl.pallas_call(
-        _make_scatter_kernel(sc, k_pad, ct_dtype),
+        _make_scatter_kernel(sc, k_pad, ct_dtype, tile_rows // _BR),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, k_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * tile_rows, k_pad), jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * _BR * e_pad * k_pad,
-            bytes_accessed=e_pad * (4 + itemsize * k_pad) + n_pad * 4 * k_pad,
+            bytes_accessed=n_tiles * e_pad * (4 + itemsize * k_pad)
+            + n_tiles * tile_rows * 4 * k_pad,
             transcendentals=0,
         ),
     )(meta, ct_t, idx.reshape(1, -1))
     return out[:num_rows, :k]
 
 
-def scatter_fits_vmem(num_rows, k, budget_bytes=6 * 1024 * 1024):
-    """Whether the scatter kernel's VMEM accumulator fits comfortably."""
+def scatter_num_tiles(num_rows, k, budget_bytes=None):
+    """Row tiles needed so each scatter accumulator tile fits the per-tile
+    VMEM budget (ops.config.VMEM_TABLE_BUDGET; ~16 MiB VMEM/core on v5e)."""
+    if budget_bytes is None:
+        from . import config as _cfg
+
+        budget_bytes = _cfg.VMEM_TABLE_BUDGET
     k_pad = max(8, _cdiv(k, 8) * 8)
     n_pad = _cdiv(num_rows + 1, _BR) * _BR
-    return n_pad * k_pad * 4 <= budget_bytes
+    return max(1, _cdiv(n_pad * k_pad * 4, budget_bytes))
+
+
+def scatter_fits_vmem(num_rows, k, budget_bytes=None):
+    """Whether the tiled scatter kernel is worth dispatching: the table
+    splits into at most MAX_SCATTER_TILES row tiles (each pass over the
+    edges re-reads the cotangent blocks; beyond the cap the permuted
+    sorted segment-sum fallback wins)."""
+    from . import config as _cfg
+
+    return scatter_num_tiles(num_rows, k, budget_bytes) <= _cfg.MAX_SCATTER_TILES
 
 
 def sorted_broadcast_auto(v, dst, num_rows, indices_are_sorted=True, use_pallas=None,

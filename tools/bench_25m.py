@@ -1,0 +1,154 @@
+"""ML-25M-regime on-chip benchmark (VERDICT round 1, item 3).
+
+Runs the flagship PEAGAT entity-aware training step at the reference's
+ML-25M post-filter scale — ~2.1M train interactions, 69k typed nodes, the
+13 hard-coded ml-25m metapath channels (utils/general_utils.py:335-356),
+batch size 4096 with 'random' negative sampling (the published 25m recipe,
+experiments/scripts/script_movielens_25m.ps1) — and reports steady-state
+examples/s/chip plus which kernel paths engage at this scale.
+
+At this node count the VMEM-resident scatter accumulator no longer fits
+(ops/pallas_segment.scatter_fits_vmem: 69k..90k rows x 64 feats >> 6MB), so
+the localized-scatter backward and the flash-GAT gate fail over to the
+sorted/segment pipeline — this bench validates that fallback fires and
+records what it costs.  Per-channel (unfused) graphs are used: the fused
+13-channel union at 2M edges/channel would materialize >3GB per-edge
+intermediates; sequential channels bound transient memory at ~2M x 64,
+exactly the reference's own structure (models/base.py:191-206).
+
+Writes BENCH_25m.json and prints one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graph_recsys_benchmark_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+
+def build(num_users, num_items, target_interactions, fused):
+    from graph_recsys_benchmark_tpu.data.movielens import ml25m_metapath_edges
+    from graph_recsys_benchmark_tpu.data.synthetic import synthetic_ml25m_hin
+    from graph_recsys_benchmark_tpu.models.pea import PEAConfig
+    from graph_recsys_benchmark_tpu.train import PEATrainer, TrainConfig
+
+    t0 = time.time()
+    hin = synthetic_ml25m_hin(
+        num_users=num_users, num_items=num_items,
+        target_interactions=target_interactions,
+    )
+    build_s = time.time() - t0
+    cfg = PEAConfig(
+        conv="gat", num_nodes=hin.num_nodes, meta_path_steps=(2,) * 13,
+        emb_dim=64, hidden_size=64, repr_dim=16, entity_aware=True,
+        fused=fused,
+    )
+    tcfg = TrainConfig(batch_size=4096, sampling_strategy="random")
+    t0 = time.time()
+    trainer = PEATrainer(hin, cfg, tcfg, metapath_edges=ml25m_metapath_edges(hin))
+    graph_s = time.time() - t0
+    return trainer, hin, build_s, graph_s
+
+
+def gate_report(trainer, hin):
+    """Which Pallas paths engage at this scale (kernel-vs-fallback census)."""
+    from graph_recsys_benchmark_tpu.ops.pallas_segment import (
+        scatter_fits_vmem,
+        scatter_num_tiles,
+    )
+
+    k = trainer.cfg.emb_dim + 1  # [z | a_src] packed width
+    graphs = trainer.graphs
+    flat = []
+    for g in (graphs if not isinstance(graphs[0], tuple) else [s for ch in graphs for s in ch]):
+        flat.append(g)
+    rows = [int(g.num_nodes) for g in flat]
+    return {
+        "num_nodes": int(hin.num_nodes),
+        "step_graph_rows_max": max(rows),
+        "localized_scatter_bwd": bool(scatter_fits_vmem(max(rows), k)),
+        "scatter_row_tiles": int(scatter_num_tiles(max(rows), k)),
+        "fallback_when_gated_off": "permuted sorted segment-sum (E->E gather)",
+    }
+
+
+def bench_steps(trainer, n_steps=8, reps=3):
+    """Steady-state ms/step over an n_steps jitted scan (full train step:
+    sampling + batch build + fwd/bwd over 13 channels + Adam)."""
+    import optax
+
+    eng = trainer
+    bs = eng.tcfg.batch_size
+    params, opt_state = trainer.init(seed=2020)
+
+    def run(params, opt_state, key):
+        def step(carry, bkey):
+            params, opt_state = carry
+            kr, kb, kl = jax.random.split(bkey, 3)
+            rows = jax.random.randint(kr, (bs,), 0, eng.n_rows)
+            batch = eng._build_batch(rows, kb)
+            mask = jnp.ones((bs,), dtype=jnp.float32)
+            loss, grads = jax.value_and_grad(
+                lambda p: eng._batch_loss(p, batch, mask, kl)
+            )(params)
+            updates, opt_state = eng.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), jax.random.split(key, n_steps)
+        )
+        return params, opt_state, jnp.mean(losses)
+
+    fn = jax.jit(run)
+    params, opt_state, loss = fn(params, opt_state, jax.random.PRNGKey(0))
+    jax.block_until_ready(loss)
+    t0 = time.time()
+    for i in range(reps):
+        params, opt_state, loss = fn(params, opt_state, jax.random.PRNGKey(i + 1))
+    jax.block_until_ready(loss)
+    dt = (time.time() - t0) / (reps * n_steps)
+    return dt, float(loss)
+
+
+def main():
+    from graph_recsys_benchmark_tpu.ops import config as ops_config
+
+    ops_config.SEGSUM_TRANSPORT = "bf16"
+    trainer, hin, build_s, graph_s = build(
+        num_users=40_000, num_items=16_000, target_interactions=2_000_000,
+        fused=False,
+    )
+    gates = gate_report(trainer, hin)
+    dt, loss = bench_steps(trainer)
+    eps = trainer.tcfg.batch_size / dt
+
+    out = {
+        "metric": "peagat_ml25m_train_examples_per_s_per_chip",
+        "value": round(eps, 1),
+        "unit": "examples/s/chip",
+        "ms_per_step": round(dt * 1e3, 3),
+        "batch_size": trainer.tcfg.batch_size,
+        "train_interactions": int(hin.train_pos.shape[0]),
+        "channels": 13,
+        "hin_build_s": round(build_s, 2),
+        "graph_compile_s": round(graph_s, 2),
+        "last_loss": round(loss, 4),
+        "gates": gates,
+    }
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_25m.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
