@@ -49,10 +49,17 @@ VMEM_TABLE_BUDGET = 6 * 1024 * 1024
 # segment-sum.  Each tile costs one extra pass over the [K, E] cotangent
 # (~150 B/edge at bf16 transport) — vs the fallback's E->E permutation
 # gather measured at 8.5 GB/s, even 16 passes win at the ML-25M regime
-# (69k nodes x 72 cols = 4 tiles; BENCH_25m.json before/after).
+# (69k nodes = 6 tiles at the lane-padded 128-col physical row width;
+# measured delta in BENCH_25m.json).
 MAX_SCATTER_TILES = 16
 
 # Use the one-pass flash-GAT backward megakernel instead of the composed
 # broadcast/gather/scatter pipeline (measured slower on v5e at bench scale;
 # kept for experimentation and interpret-mode validation).
 FLASH_BWD_MEGA = False
+
+# Flash-GAT dispatch override (None = heuristic, False = always the 5-op
+# composed pipeline, True = force where eligible).  Separate from
+# FORCE_PALLAS so scale sweeps can A/B the megakernel without losing the
+# segment/gather kernels (tools/bench_25m.py gate sweep).
+FLASH_GAT = None

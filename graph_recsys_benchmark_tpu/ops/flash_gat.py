@@ -156,8 +156,8 @@ def _make_flash_kernel(chunk, k_pad, kz, t_dtype, negative_slope,
         else:
             win_buf, sid_buf, did_buf, sem_win, sem_ids = scratch
         i = pl.program_id(0)
-        c_lo = cb_ref[i, 0]
-        c_hi = cb_ref[i, 1]
+        c_lo = cb_ref[0, i]
+        c_hi = cb_ref[1, i]
         row0 = i * _R
 
         out_ref[:] = jnp.zeros_like(out_ref)
@@ -191,8 +191,8 @@ def _make_flash_kernel(chunk, k_pad, kz, t_dtype, negative_slope,
             src_ids = sid_buf[slot]  # [1, C]
             dst_ids = did_buf[slot]  # [1, C]
 
-            win0 = wm_ref[c, 0]
-            n_win = wm_ref[c, 1]
+            win0 = wm_ref[0, c]
+            n_win = wm_ref[1, c]
 
             if table_in_vmem:
                 def wbody(w, acc):
@@ -428,8 +428,8 @@ def _make_flash_bwd_kernel(chunk, k_pad, kg_pad, kz, t_dtype, negative_slope):
     def _kernel(cb_ref, wm_ref, gtab_ref, packed_ref, src_hbm, dst_hbm,
                 dpk_ref, dadst_ref, sid_buf, did_buf, sem_ids):
         i = pl.program_id(0)
-        c_lo = cb_ref[i, 0]
-        c_hi = cb_ref[i, 1]
+        c_lo = cb_ref[0, i]
+        c_hi = cb_ref[1, i]
         row0 = i * _R
 
         @pl.when(i == 0)
@@ -466,8 +466,8 @@ def _make_flash_bwd_kernel(chunk, k_pad, kg_pad, kz, t_dtype, negative_slope):
             src_ids = sid_buf[slot]  # [1, C]
             dst_ids = did_buf[slot]  # [1, C]
 
-            win0 = wm_ref[c, 0]
-            n_win = wm_ref[c, 1]
+            win0 = wm_ref[0, c]
+            n_win = wm_ref[1, c]
 
             def gbody(w, acc):
                 start = (win0 + w) * _BR
@@ -745,9 +745,13 @@ def _flash_bwd(num_rows, kz, negative_slope, interpret, transport, res, g):
         axis=1,
     )  # [N, 3] f32
     e = dst.shape[0]
+    # gate on k = kz + 1: the packed [z | a_src] broadcast below runs at
+    # kz + 1 columns, which must stay within the kernels' 128-column cap
+    # (round-2 ADVICE: kz in 125..128 would dispatch an untested >128-col
+    # broadcast if gated on kz alone)
     use_kernels = _cfg.resolve(
-        None, _on_tpu() and kz <= 128 and e >= 65536
-    ) and kz <= 128
+        None, _on_tpu() and kz + 1 <= 128 and e >= 65536
+    ) and kz + 1 <= 128
     if use_kernels:
         g_e = _broadcast_forward(
             g_tab, dst, n, interpret, exact=False, out_transposed=True
@@ -821,10 +825,15 @@ def flash_gat_reference(packed_t, a_dst, src, dst, num_rows, kz,
 
 def flash_gat_enabled(heads, dropout_active, num_edges, use_pallas=None):
     """Dispatch predicate: single head, no attention dropout, large edge
-    list, TPU backend (or forced via ops.config.FORCE_PALLAS/use_pallas)."""
+    list, TPU backend (or forced via ops.config.FORCE_PALLAS/use_pallas;
+    ops.config.FLASH_GAT overrides just this kernel for scale sweeps)."""
     from . import config as _cfg
 
     eligible = heads == 1 and not dropout_active
+    if _cfg.FLASH_GAT is False:
+        return False
+    if _cfg.FLASH_GAT is True:
+        return eligible
     return (
         _cfg.resolve(use_pallas, _on_tpu() and num_edges >= 65536) and eligible
     )

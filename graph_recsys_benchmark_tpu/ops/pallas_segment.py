@@ -55,18 +55,23 @@ def _cdiv(a, b):
 
 
 def _block_chunk_bounds(dst, n_blocks, chunk):
-    """Per-row-block [first_chunk, last_chunk) ranges.
+    """Per-row-block [first_chunk, last_chunk) ranges, TRANSPOSED [2, B].
 
     Edge lists are *block-monotone*: `dst // _R` is non-decreasing (true both
     for fully dst-sorted lists and for the (dst//_R, src) block order that
     graph.py emits so src gathers are window-local).  A plain searchsorted on
     `dst` would be wrong under block order, so bound chunks via the sorted
-    block ids instead."""
+    block ids instead.
+
+    Layout note: scalar-prefetch operands live in SMEM with rows padded to
+    the 128-lane width, so a [B, 2] i32 layout costs 512 B per block and
+    overflows the ~1 MB SMEM at B > 2048 (hit at ML-25M scale: 2.1M edges /
+    1024-edge chunks).  [2, B] costs 8 B per block instead."""
     blk = (dst // _R).astype(jnp.int32)
     blocks = jnp.arange(n_blocks, dtype=jnp.int32)
     e_lo = jnp.searchsorted(blk, blocks, side="left").astype(jnp.int32)
     e_hi = jnp.searchsorted(blk, blocks, side="right").astype(jnp.int32)
-    return jnp.stack([e_lo // chunk, _cdiv(e_hi, chunk)], axis=1)
+    return jnp.stack([e_lo // chunk, _cdiv(e_hi, chunk)], axis=0)
 
 
 def _make_segsum_kernel(chunk, msg_dtype):
@@ -93,8 +98,8 @@ def _make_segsum_kernel(chunk, msg_dtype):
 def _segsum_kernel_body(_C, msg_dtype, msg_precision, chunk_bounds_ref,
                         msgs_t_hbm, dst_hbm, out_ref, msg_buf, dst_buf, sems):
     i = pl.program_id(0)
-    c_lo = chunk_bounds_ref[i, 0]
-    c_hi = chunk_bounds_ref[i, 1]
+    c_lo = chunk_bounds_ref[0, i]
+    c_hi = chunk_bounds_ref[1, i]
     row0 = i * _R
 
     out_ref[:] = jnp.zeros_like(out_ref)
@@ -235,8 +240,8 @@ def _softmax_stats_kernel(chunk_bounds_ref, alpha_hbm, dst_hbm, max_ref, sum_ref
     """Online softmax statistics per destination row: running max + rescaled
     sum-of-exp, one pass over the row block's edge chunks."""
     i = pl.program_id(0)
-    c_lo = chunk_bounds_ref[i, 0]
-    c_hi = chunk_bounds_ref[i, 1]
+    c_lo = chunk_bounds_ref[0, i]
+    c_hi = chunk_bounds_ref[1, i]
     row0 = i * _R
 
     max_ref[:] = jnp.full_like(max_ref, -jnp.inf)
@@ -426,8 +431,8 @@ def _make_broadcast_kernel(chunk, k_pad, v_dtype, exact):
 
     def _kernel(meta_ref, v_hbm, dst_ref, out_ref, v_buf, sems):
         j = pl.program_id(0)
-        row0_blk = meta_ref[j, 0]  # window start in _BR units (alignment proof)
-        n_win = meta_ref[j, 1]
+        row0_blk = meta_ref[0, j]  # window start in _BR units (alignment proof)
+        n_win = meta_ref[1, j]
 
         col_dst = dst_ref[:]  # [1, C] (auto-pipelined block)
 
@@ -493,7 +498,10 @@ def _chunk_window_meta(idx, n_chunks, chunk, num_rows):
     hi = jnp.max(jnp.where(real, by_chunk, lo[:, None]), axis=1)
     row0_blk = lo // _BR
     n_win = _cdiv(hi + 1 - row0_blk * _BR, _BR)
-    return jnp.stack([row0_blk, n_win], axis=1).astype(jnp.int32)
+    # transposed [2, n_chunks]: SMEM pads each row to 128 lanes, so the
+    # [n_chunks, 2] layout would cost 512 B/chunk and overflow at >2048
+    # chunks (see _block_chunk_bounds)
+    return jnp.stack([row0_blk, n_win], axis=0).astype(jnp.int32)
 
 
 def _broadcast_forward(v, dst, num_rows, interpret, exact=True,
@@ -640,9 +648,9 @@ def _make_scatter_kernel(chunk, k_pad, ct_dtype, wins_per_tile):
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
-        win0 = meta_ref[j, 0]
+        win0 = meta_ref[0, j]
         w_lo = jnp.maximum(win0, p * wins_per_tile)
-        w_hi = jnp.minimum(win0 + meta_ref[j, 1], (p + 1) * wins_per_tile)
+        w_hi = jnp.minimum(win0 + meta_ref[1, j], (p + 1) * wins_per_tile)
         col_idx = idx_ref[:]  # [1, C]
         row_off = p * (wins_per_tile * _BR)
 
@@ -677,8 +685,13 @@ def localized_scatter_add_pallas(ct, idx, num_rows, interpret=False,
     zero ct (the same invariant the perm-gather backward relied on).
     Callers holding the cotangent column-major already (the flash backward
     glue) pass ``ct_t`` [K, E] instead of ct and skip the transpose prep.
-    Requires num_rows_pad * K_pad * 4B to fit VMEM — gate via
-    `scatter_fits_vmem`."""
+    The accumulator is row-TILED: tables larger than one VMEM-budget tile
+    (ops.config.VMEM_TABLE_BUDGET) split into `scatter_num_tiles` row tiles,
+    and the kernel makes one pass over all edge chunks per tile (each pass
+    re-reads the cotangent blocks, clamping every chunk's window to the
+    tile).  Gate via `scatter_fits_vmem`, which caps the tile count at
+    ops.config.MAX_SCATTER_TILES before the permuted sorted segment-sum
+    fallback wins."""
     ct_dtype = jnp.bfloat16 if transport == "bf16" else jnp.float32
     if ct_t is not None:
         k, e = ct_t.shape
@@ -731,14 +744,20 @@ def localized_scatter_add_pallas(ct, idx, num_rows, interpret=False,
 
 def scatter_num_tiles(num_rows, k, budget_bytes=None):
     """Row tiles needed so each scatter accumulator tile fits the per-tile
-    VMEM budget (ops.config.VMEM_TABLE_BUDGET; ~16 MiB VMEM/core on v5e)."""
+    VMEM budget (ops.config.VMEM_TABLE_BUDGET; ~16 MiB VMEM/core on v5e).
+
+    The budget must count PHYSICAL bytes: VMEM stores f32 in (8, 128) tiles,
+    so every accumulator row occupies ceil(k_pad/128)*128 lanes regardless
+    of the logical width (a [69k, 24] accumulator really costs 35 MB, not
+    6.6 MB — measured as a Mosaic scoped-vmem OOM at ML-25M scale)."""
     if budget_bytes is None:
         from . import config as _cfg
 
         budget_bytes = _cfg.VMEM_TABLE_BUDGET
     k_pad = max(8, _cdiv(k, 8) * 8)
+    k_lanes = _cdiv(k_pad, 128) * 128  # physical lanes per row (T(8,128))
     n_pad = _cdiv(num_rows + 1, _BR) * _BR
-    return max(1, _cdiv(n_pad * k_pad * 4, budget_bytes))
+    return max(1, _cdiv(n_pad * k_lanes * 4, budget_bytes))
 
 
 def scatter_fits_vmem(num_rows, k, budget_bytes=None):

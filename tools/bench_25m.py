@@ -7,11 +7,12 @@ batch size 4096 with 'random' negative sampling (the published 25m recipe,
 experiments/scripts/script_movielens_25m.ps1) — and reports steady-state
 examples/s/chip plus which kernel paths engage at this scale.
 
-At this node count the VMEM-resident scatter accumulator no longer fits
-(ops/pallas_segment.scatter_fits_vmem: 69k..90k rows x 64 feats >> 6MB), so
-the localized-scatter backward and the flash-GAT gate fail over to the
-sorted/segment pipeline — this bench validates that fallback fires and
-records what it costs.  Per-channel (unfused) graphs are used: the fused
+At this node count the scatter accumulator spans multiple VMEM row tiles
+(ops/pallas_segment.scatter_num_tiles: ~69k rows at the lane-padded 128-col
+physical width = 6 tiles at the 6MB per-tile budget).  Whether the tiled
+kernel or its sorted fallback wins is scale-dependent, so main() SWEEPS the
+flash-GAT and tiled-scatter gates, reports every configuration, and commits
+the fastest with its gate census (set GRB_25M_CONFIGS=name,name to subset).  Per-channel (unfused) graphs are used: the fused
 13-channel union at 2M edges/channel would materialize >3GB per-edge
 intermediates; sequential channels bound transient memory at ~2M x 64,
 exactly the reference's own structure (models/base.py:191-206).
@@ -61,6 +62,7 @@ def build(num_users, num_items, target_interactions, fused):
 
 def gate_report(trainer, hin):
     """Which Pallas paths engage at this scale (kernel-vs-fallback census)."""
+    from graph_recsys_benchmark_tpu.ops.flash_gat import flash_gat_enabled
     from graph_recsys_benchmark_tpu.ops.pallas_segment import (
         scatter_fits_vmem,
         scatter_num_tiles,
@@ -72,11 +74,17 @@ def gate_report(trainer, hin):
     for g in (graphs if not isinstance(graphs[0], tuple) else [s for ch in graphs for s in ch]):
         flat.append(g)
     rows = [int(g.num_nodes) for g in flat]
+    edges = [int(g.src.shape[0]) for g in flat]
     return {
         "num_nodes": int(hin.num_nodes),
         "step_graph_rows_max": max(rows),
+        "step_graph_edges_max": max(edges),
         "localized_scatter_bwd": bool(scatter_fits_vmem(max(rows), k)),
         "scatter_row_tiles": int(scatter_num_tiles(max(rows), k)),
+        "flash_gat": bool(
+            flash_gat_enabled(trainer.cfg.num_heads, trainer.cfg.dropout > 0,
+                              max(edges))
+        ),
         "fallback_when_gated_off": "permuted sorted segment-sum (E->E gather)",
     }
 
@@ -120,30 +128,63 @@ def bench_steps(trainer, n_steps=8, reps=3):
     return dt, float(loss)
 
 
+SWEEP = {
+    # gate config -> (FLASH_GAT override, MAX_SCATTER_TILES)
+    "kernels_full": (None, 16),
+    "no_flash": (False, 16),
+    "no_tiled_scatter": (None, 1),
+    "fallback_both": (False, 1),
+}
+
+
 def main():
+    """Sweeps the scale-sensitive kernel gates (flash-GAT megakernel and the
+    row-tiled VMEM scatter vs their composed/sorted fallbacks), reports every
+    configuration, and records the fastest as the headline — with the gates
+    that produced it — so the committed artifact always reflects a measured
+    dispatch decision at THIS scale (round-2 verdict item 2)."""
     from graph_recsys_benchmark_tpu.ops import config as ops_config
 
     ops_config.SEGSUM_TRANSPORT = "bf16"
-    trainer, hin, build_s, graph_s = build(
-        num_users=40_000, num_items=16_000, target_interactions=2_000_000,
-        fused=False,
-    )
-    gates = gate_report(trainer, hin)
-    dt, loss = bench_steps(trainer)
-    eps = trainer.tcfg.batch_size / dt
+    only = os.environ.get("GRB_25M_CONFIGS")
+    runs = {}
+    build_s = graph_s = 0.0
+    hin = None
+    for name, (flash, tiles) in SWEEP.items():
+        if only and name not in only.split(","):
+            continue
+        ops_config.FLASH_GAT = flash
+        ops_config.MAX_SCATTER_TILES = tiles
+        trainer, hin, build_s, graph_s = build(
+            num_users=40_000, num_items=16_000, target_interactions=2_000_000,
+            fused=False,
+        )
+        gates = gate_report(trainer, hin)
+        dt, loss = bench_steps(trainer)
+        runs[name] = {
+            "examples_per_s": round(trainer.tcfg.batch_size / dt, 1),
+            "ms_per_step": round(dt * 1e3, 3),
+            "last_loss": round(loss, 4),
+            "gates": gates,
+        }
+        print(name, json.dumps(runs[name]))
+    ops_config.FLASH_GAT = None
+    ops_config.MAX_SCATTER_TILES = 16
 
+    best = max(runs, key=lambda n: runs[n]["examples_per_s"])
     out = {
         "metric": "peagat_ml25m_train_examples_per_s_per_chip",
-        "value": round(eps, 1),
+        "value": runs[best]["examples_per_s"],
         "unit": "examples/s/chip",
-        "ms_per_step": round(dt * 1e3, 3),
-        "batch_size": trainer.tcfg.batch_size,
+        "ms_per_step": runs[best]["ms_per_step"],
+        "best_config": best,
+        "batch_size": 4096,
         "train_interactions": int(hin.train_pos.shape[0]),
         "channels": 13,
         "hin_build_s": round(build_s, 2),
         "graph_compile_s": round(graph_s, 2),
-        "last_loss": round(loss, 4),
-        "gates": gates,
+        "gates": runs[best]["gates"],
+        "sweep": runs,
     }
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_25m.json"), "w") as f:
         json.dump(out, f, indent=1)
