@@ -72,6 +72,17 @@ def build_parser():
                    help="host:port of process 0; enables jax.distributed")
     p.add_argument("--dist_nprocs", type=int, default=None)
     p.add_argument("--dist_rank", type=int, default=None)
+    # mesh training (parallel/engine.py): epochs/eval/checkpoints run sharded
+    # over all visible devices — 'a2a' row-shards the embedding table with
+    # all-to-all lookups (north star), 'edge' shards the metapath edge sets
+    # (the SP analog), 'dp' shards the batch with a GSPMD row-sharded table
+    p.add_argument("--parallel", default="none",
+                   choices=["none", "dp", "edge", "a2a"],
+                   help="mesh-sharded training for PEA models")
+    p.add_argument("--mesh_mp", type=int, default=None,
+                   help="model-parallel axis size for --parallel dp "
+                        "(row-shards the embedding table; default 2 when "
+                        "the device count is even)")
     # walk-stage params (metapath2vec_solver_bpr.py:36-58)
     p.add_argument("--walk_length", type=int, default=100)
     p.add_argument("--context_size", type=int, default=7)
@@ -184,6 +195,15 @@ def build_trainer(args, hin, mp_edges):
     )
 
     model = args.model
+    par = getattr(args, "parallel", "none")
+    if par != "none":
+        pea_ok = model in ("PEAGCN", "PEAGAT", "PEASage")
+        kg_ok = model in ("KGAT", "KGCN") and par == "edge"
+        if not (pea_ok or kg_ok):
+            raise SystemExit(
+                f"--parallel {par} supports the PEA family (dp/edge/a2a) and "
+                f"KGAT/KGCN (edge); {model} runs single-device (omit --parallel)"
+            )
     if model in ("PEAGCN", "PEAGAT", "PEASage"):
         from .models.pea import PEAConfig
 
@@ -197,6 +217,25 @@ def build_trainer(args, hin, mp_edges):
             entity_aware=_bool(args.entity_aware),
             entity_aware_coff=args.entity_aware_coff,
         )
+        if getattr(args, "parallel", "none") != "none":
+            from .parallel.engine import ShardedPEATrainer
+            from .parallel.multihost import make_pod_mesh
+
+            import jax
+
+            n = len(jax.devices())
+            if args.parallel == "dp":
+                mp = args.mesh_mp or (2 if n % 2 == 0 else 1)
+            else:
+                mp = 1
+            mesh = make_pod_mesh(mp=mp)
+            return (
+                ShardedPEATrainer(
+                    hin, cfg, tcfg, metapath_edges=mp_edges, mesh=mesh,
+                    mode=args.parallel,
+                ),
+                len(mp_edges),
+            )
         return PEATrainer(hin, cfg, tcfg, metapath_edges=mp_edges), len(mp_edges)
     if model == "NGCF":
         from .models.ngcf import NGCFConfig
@@ -218,6 +257,11 @@ def build_trainer(args, hin, mp_edges):
             num_relations=hin.num_edge_types, emb_dim=args.emb_dim,
             hidden_size=args.hidden_size, dropout=args.dropout,
         )
+        if par == "edge":
+            from .parallel.engine import make_sharded_kg_trainer
+            from .parallel.multihost import make_pod_mesh
+
+            return make_sharded_kg_trainer(hin, cfg, tcfg, make_pod_mesh(mp=1)), 0
         return KGTrainer(hin, cfg, tcfg), 0
     if model == "CFKG":
         from .models.cfkg import CFKGConfig

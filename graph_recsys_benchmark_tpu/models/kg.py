@@ -66,10 +66,11 @@ def kg_init(key, cfg: KGConfig):
     return params
 
 
-def compute_att_map(params, g: StepGraph, cfg: KGConfig):
+def compute_att_map(params, g: StepGraph, cfg: KGConfig, softmax=None):
     """Per-edge attention over the signed typed graph (solver :311-320).
     Padding edges fall in the dropped sentinel segment; their values are
-    irrelevant but finite."""
+    irrelevant but finite.  `softmax` overrides the segment softmax (the
+    edge-sharded two-pass stats exchange, parallel/edge_parallel.py)."""
     x, r = params["x"], params["r"]
     sign = jnp.where(g.rel < 0, -1.0, 1.0)  # sign(0) := 1 as in the reference
     trans_vec = r[jnp.abs(g.rel)] * sign[:, None]
@@ -84,17 +85,22 @@ def compute_att_map(params, g: StepGraph, cfg: KGConfig):
     else:
         alpha = jnp.sum(x_dst * trans_vec, axis=-1)
     alpha = jax.lax.stop_gradient(alpha)
-    return segment_softmax_auto(alpha, g.dst, g.num_nodes)
+    return (softmax or segment_softmax_auto)(alpha, g.dst, g.num_nodes)
 
 
-def kg_forward(params, g: StepGraph, cfg: KGConfig, att_map, training=False, dropout_key=None):
+def kg_forward(params, g: StepGraph, cfg: KGConfig, att_map, training=False,
+               dropout_key=None, aggregate=None):
     keys = (None, None, None)
     if training and cfg.dropout > 0 and dropout_key is not None:
         keys = jax.random.split(dropout_key, 3)
     apply = C.kgat_apply if cfg.variant == "kgat" else C.kgcn_apply
-    x1 = _dropout(apply(params["conv1"], params["x"], g, att_map), cfg.dropout, keys[0])
-    x2 = _dropout(apply(params["conv2"], x1, g, att_map), cfg.dropout, keys[1])
-    x3 = _dropout(apply(params["conv3"], x2, g, att_map), cfg.dropout, keys[2])
+
+    def conv(p, x):
+        return apply(p, x, g, att_map, aggregate=aggregate)
+
+    x1 = _dropout(conv(params["conv1"], params["x"]), cfg.dropout, keys[0])
+    x2 = _dropout(conv(params["conv2"], x1), cfg.dropout, keys[1])
+    x3 = _dropout(conv(params["conv3"], x2), cfg.dropout, keys[2])
     return jnp.concatenate([_l2norm(x1), _l2norm(x2), _l2norm(x3)], axis=-1)
 
 
@@ -114,8 +120,10 @@ def transr_kg_loss(params, batch, row_mask):
     return jnp.sum(-_log_sigmoid(pos_pred - neg_pred) * row_mask)
 
 
-def kg_cf_loss(params, g, cfg, att_map, batch, row_mask, training=True, dropout_key=None):
-    cached = kg_forward(params, g, cfg, att_map, training=training, dropout_key=dropout_key)
+def kg_cf_loss(params, g, cfg, att_map, batch, row_mask, training=True,
+               dropout_key=None, aggregate=None):
+    cached = kg_forward(params, g, cfg, att_map, training=training,
+                        dropout_key=dropout_key, aggregate=aggregate)
     pos = kg_predict(params, cached, batch[:, 0], batch[:, 1])
     neg = kg_predict(params, cached, batch[:, 0], batch[:, 2])
     return jnp.sum(-_log_sigmoid(pos - neg) * row_mask)

@@ -166,10 +166,12 @@ def kgat_init(key, in_dim, out_dim):
     }
 
 
-def kgat_apply(params, x, g: StepGraph, att_map, negative_slope=0.2, use_pallas=None):
-    """att_map: float[E_pad] per-edge attention (0 on padding)."""
+def kgat_apply(params, x, g: StepGraph, att_map, negative_slope=0.2, use_pallas=None,
+               aggregate=None):
+    """att_map: float[E_pad] per-edge attention (0 on padding).
+    `aggregate` overrides the segment reduction (edge-parallel psum path)."""
     xm, att = msg_cast(x, att_map)
-    aggr = _aggregate(att[:, None] * gather_src(xm, g), g, use_pallas)
+    aggr = (aggregate or _aggregate)(att[:, None] * gather_src(xm, g), g, use_pallas)
     xn = x[: g.num_nodes]
     add_aggr = jax.nn.leaky_relu(_dot(xn + aggr, params["w_add"]), negative_slope)
     bi_aggr = jax.nn.leaky_relu(_dot(xn * aggr, params["w_bi"]), negative_slope)
@@ -183,7 +185,7 @@ def kgcn_init(key, in_dim, out_dim):
     return {"w": glorot(key, (in_dim, out_dim)), "b": zeros_init((out_dim,))}
 
 
-def kgcn_apply(params, x, g: StepGraph, att_map, use_pallas=None):
+def kgcn_apply(params, x, g: StepGraph, att_map, use_pallas=None, aggregate=None):
     xm, att = msg_cast(x, att_map)
-    aggr = _aggregate(att[:, None] * gather_src(xm, g), g, use_pallas)
+    aggr = (aggregate or _aggregate)(att[:, None] * gather_src(xm, g), g, use_pallas)
     return jax.nn.relu(_dot(aggr + x[: g.num_nodes], params["w"]) + params["b"])

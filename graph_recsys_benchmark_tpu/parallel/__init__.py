@@ -3,9 +3,10 @@ from .edge_parallel import (
     shard_fused_graphs,
     shard_step_graph,
 )
+from .engine import ShardedPEATrainer, make_sharded_kg_trainer
 from .mesh import make_mesh
 from .spmd import param_shardings, make_sharded_train_step
-from .a2a import build_a2a_setup, make_a2a_train_step
+from .a2a import build_a2a_setup, make_a2a_parts, make_a2a_train_step
 from .sharded_embedding import (
     build_static_plan,
     sharded_lookup,
@@ -20,6 +21,9 @@ from .multihost import (
 )
 
 __all__ = [
+    "ShardedPEATrainer",
+    "make_sharded_kg_trainer",
+    "make_a2a_parts",
     "make_mesh",
     "param_shardings",
     "make_sharded_train_step",

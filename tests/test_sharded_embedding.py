@@ -290,3 +290,59 @@ def test_a2a_hlo_has_no_full_table_allgather():
         and re.search(rf"f32\[{emb_rows},\s*{emb}\]", ln)
     ]
     assert not offenders, f"full-table all-gather found:\n" + "\n".join(offenders)
+
+
+def test_capacity_bound_skew():
+    """Adversarial skew: EVERY id on EVERY device targets one owner shard.
+
+    Proves the a2a capacity bound used at all its call sites
+    (parallel/a2a.py cap3/cap6, engine.py eval): an owner can be asked for
+    at most min(#ids, rows_per_shard) DISTINCT rows, so that capacity can
+    never overflow a bucket even when all requests pile onto one owner —
+    values AND duplicate-accumulated gradients stay exact."""
+    P_, S, D = 8, 8, 3
+    N = P_ * S
+    rng = np.random.default_rng(3)
+    table = rng.normal(size=(N, D)).astype(np.float32)
+    # 64 ids/device, all owned by shard 0 (rows 0..S-1): unique <= S == 8
+    idx = rng.integers(0, S, size=(P_ * 64,)).astype(np.int32)
+    mesh = _mesh(P_)
+    cap = min(64, S)  # the bound under proof: min(#ids, r_loc) == 8
+
+    def loss(tab, ids):
+        rows = sharded_lookup(tab, ids, "dp", P_, cap)
+        return jnp.sum(rows * rows), rows
+
+    def f(tab, ids):
+        (l, rows), g = jax.value_and_grad(loss, has_aux=True)(tab, ids)
+        return jax.lax.psum(l, "dp"), rows, g
+
+    smapped = jax.jit(
+        jax.shard_map(
+            f, mesh=mesh,
+            in_specs=(P("dp", None), P("dp")),
+            out_specs=(P(), P("dp", None), P("dp", None)),
+            check_vma=False,
+        )
+    )
+    l, rows, g = smapped(table, idx)
+    np.testing.assert_allclose(np.asarray(rows), table[idx], rtol=0, atol=0)
+    # dense-gather reference gradient: every duplicate accumulates
+    want = np.zeros_like(table)
+    np.add.at(want, idx, 2.0 * table[idx])
+    np.testing.assert_allclose(np.asarray(g), want, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(float(l), float((table[idx] ** 2).sum()), rtol=1e-6)
+
+
+def test_lookup_overflowed_flags_undercapacity():
+    """lookup_overflowed is the debug check for capacities below the proven
+    bound: it must flag exactly when some owner bucket holds more unique ids
+    than capacity."""
+    from graph_recsys_benchmark_tpu.parallel.sharded_embedding import (
+        lookup_overflowed,
+    )
+
+    S, P_ = 8, 4
+    idx = jnp.asarray(np.arange(8, dtype=np.int32))  # 8 uniques, all owner 0
+    assert bool(lookup_overflowed(idx, S, P_, capacity=7))
+    assert not bool(lookup_overflowed(idx, S, P_, capacity=8))
