@@ -59,7 +59,7 @@ def build():
     return PEATrainer(hin, cfg, tcfg), hin
 
 
-def bench_fused(trainer, epochs=2):
+def bench_fused(trainer, epochs=2, roofline=False):
     params, opt_state = trainer.init(seed=2020)
     key = jax.random.PRNGKey(0)
     # warmup/compile
@@ -72,7 +72,18 @@ def bench_fused(trainer, epochs=2):
         params, opt_state, loss = trainer.run_epoch(params, opt_state, k)
     jax.block_until_ready(loss)
     dt = (time.time() - t0) / epochs
-    return trainer.n_rows / dt, float(loss)
+    roof = {}
+    if roofline:
+        # achieved-HBM/MFU accounting from XLA's post-fusion cost model
+        # (Pallas calls contribute their declared DMA bytes); honest
+        # utilization for a bandwidth-bound workload (utils/roofline.py)
+        from graph_recsys_benchmark_tpu.utils.roofline import roofline_report
+
+        compiled = trainer._epoch_fn.lower(
+            params, opt_state, jax.random.PRNGKey(0)
+        ).compile()
+        roof = roofline_report(compiled, dt, steps=trainer.num_batches)
+    return trainer.n_rows / dt, float(loss), roof
 
 
 def main():
@@ -85,14 +96,14 @@ def main():
     # library default.
     ops_config.SEGSUM_TRANSPORT = "bf16"
     trainer, hin = build()
-    fused_eps, last_loss = bench_fused(trainer)
+    fused_eps, last_loss, roof = bench_fused(trainer, roofline=True)
 
     # f32-transport fused number: same kernels, reference-parity numerics —
     # keeps the kernel-only speedup separable from the precision trade
     # (round-1 advisor finding)
     ops_config.SEGSUM_TRANSPORT = "f32"
     f32_trainer, _ = build()
-    f32_eps, _ = bench_fused(f32_trainer, epochs=1)
+    f32_eps, _, _ = bench_fused(f32_trainer, epochs=1)
 
     # stock-XLA baseline: identical epoch program in the stock numerics —
     # f32 messages, XLA scatter/gather lowering, no custom kernels (what a
@@ -100,7 +111,7 @@ def main():
     ops_config.FORCE_PALLAS = False
     ops_config.SEGSUM_TRANSPORT = "f32"
     xla_trainer, _ = build()
-    xla_eps, _ = bench_fused(xla_trainer, epochs=1)
+    xla_eps, _, _ = bench_fused(xla_trainer, epochs=1)
     ops_config.FORCE_PALLAS = None
     ops_config.SEGSUM_TRANSPORT = "f32"
 
@@ -113,6 +124,10 @@ def main():
                 "vs_baseline": round(fused_eps / xla_eps, 3),
                 "value_f32_transport": round(f32_eps, 1),
                 "f32_vs_baseline": round(f32_eps / xla_eps, 3),
+                # roofline: achieved HBM GB/s + utilization vs the v5e's
+                # 819 GB/s peak, and MFU vs 197 bf16 TFLOP/s — the honest
+                # hardware-potential comparison for a memory-bound workload
+                **{k: v for k, v in roof.items()},
             }
         )
     )

@@ -94,8 +94,15 @@ def build_a2a_setup(cfg: PEAConfig, metapath_edges, mesh: Mesh, axis: str = "dp"
     }
 
 
-def _a2a_forward(cfg: PEAConfig, setup, axis, params, x_shard, graphs, splans, dplans):
-    """Sharded fused forward -> cached channel reps [r_loc, C, repr]."""
+def _a2a_forward(cfg: PEAConfig, setup, axis, params, x_shard, graphs, splans,
+                 dplans, dropout_key=None):
+    """Sharded fused forward -> cached channel reps [r_loc, C, repr].
+
+    dropout_key enables attention dropout (GAT): each device folds its
+    axis_index into the key so its edge shard draws an independent mask —
+    statistically the same regularizer as the single-device bernoulli over
+    the full edge list (exact RNG-stream parity is impossible under edge
+    sharding and not required: dropout is noise by construction)."""
     C = cfg.num_channels
     P_ = setup["n_shards"]
     r_loc, s_virt, v_total = setup["r_loc"], setup["s_virt"], setup["v_total"]
@@ -103,6 +110,8 @@ def _a2a_forward(cfg: PEAConfig, setup, axis, params, x_shard, graphs, splans, d
     dims = _channel_layer_dims(cfg, num_steps)
     softmax = make_sharded_softmax(axis)
     chan_of_slot = jnp.arange(s_virt, dtype=jnp.int32) % C
+    if dropout_key is not None:
+        dropout_key = jax.random.fold_in(dropout_key, jax.lax.axis_index(axis))
 
     h = None  # [r_loc, C, d] from step 2 on
     for k in range(num_steps):
@@ -139,35 +148,47 @@ def _a2a_forward(cfg: PEAConfig, setup, axis, params, x_shard, graphs, splans, d
             ).reshape(r_loc, C, din)
             h = jnp.einsum("rcd,cde->rce", mean_agg, sp["w_rel"]) + sp["b_rel"][None] + root
         elif cfg.conv == "gat":
-            assert heads == 1, "a2a GAT path supports heads == 1"
             if k == 0:
                 z = jnp.einsum("rd,cde->rce", x_shard, sp["w"])
             else:
                 z = jnp.einsum("rcd,cde->rce", h, sp["w"])
-            c_dim = dout
-            att = sp["att"].reshape(C, 2 * c_dim)  # [C,1,H,2c] -> [C, 2c], H=1
-            att_dst, att_src = att[:, :c_dim], att[:, c_dim:]
-            a_dst = jnp.sum(z * att_dst[None], axis=-1).reshape(s_virt)
-            a_src = jnp.sum(z * att_src[None], axis=-1).reshape(s_virt)
+            c_dim = dout  # per-head width; z is [r_loc, C, H*c]
+            zh = z.reshape(r_loc, C, heads, c_dim)
+            att = sp["att"][:, 0]  # [C, H, 2c]
+            att_dst, att_src = att[..., :c_dim], att[..., c_dim:]
+            a_dst = jnp.sum(zh * att_dst[None], axis=-1).reshape(s_virt, heads)
+            a_src = jnp.sum(zh * att_src[None], axis=-1).reshape(s_virt, heads)
+            # one exchange ships [z | a_src]: H*c + H columns
             packed = jnp.concatenate(
-                [z.reshape(s_virt, c_dim), a_src[:, None]], axis=1
+                [z.reshape(s_virt, heads * c_dim), a_src], axis=1
             )
             packed_e = static_lookup(packed, sown, spos, sserve, axis, P_, scap)
             dcap = setup["dst_plans"][k]["capacity"]
             down, dpos, dserve = dplans[k]["own"], dplans[k]["pos"], dplans[k]["serve"]
             a_dst_e = static_lookup(
-                a_dst[:, None], down, dpos, dserve, axis, P_, dcap
-            )[:, 0]
-            alpha = jax.nn.leaky_relu(a_dst_e + packed_e[:, -1], 0.2)
+                a_dst, down, dpos, dserve, axis, P_, dcap
+            )  # [E_loc, H]
+            a_src_e = packed_e[:, heads * c_dim :]
+            alpha = jax.nn.leaky_relu(a_dst_e + a_src_e, 0.2)  # [E_loc, H]
             att_e = softmax(alpha, g.dst, v_total)
+            if dropout_key is not None and cfg.dropout > 0.0:
+                keep = jax.random.bernoulli(
+                    jax.random.fold_in(dropout_key, k), 1.0 - cfg.dropout,
+                    att_e.shape,
+                )
+                att_e = jnp.where(keep, att_e / (1.0 - cfg.dropout), 0.0)
+            z_e = packed_e[:, : heads * c_dim].reshape(-1, heads, c_dim)
             partial = segment_sum_auto(
-                packed_e[:, :c_dim] * att_e[:, None], g.dst, v_total
+                (z_e * att_e[:, :, None]).reshape(-1, heads * c_dim),
+                g.dst, v_total,
             )
             agg = jax.lax.psum_scatter(
                 partial, axis, scatter_dimension=0, tiled=True
             )
-            out = agg + sp["b"][chan_of_slot]
-            h = out.reshape(r_loc, C, c_dim)
+            # concat heads between steps, single head on the last layer
+            # (PEAGATChannel semantics, models/peagat.py:14-21)
+            out = agg + sp["b"][chan_of_slot]  # bias [C, H*c]
+            h = out.reshape(r_loc, C, heads * c_dim)
         else:
             raise ValueError(cfg.conv)
         if k < num_steps - 1:
@@ -202,7 +223,6 @@ def make_a2a_parts(
     plus the host-side arrays: setup, graphs, splans, dplans and their specs.
     """
     assert cfg.fused and len(set(cfg.meta_path_steps)) == 1
-    assert cfg.dropout == 0.0, "a2a path: attention dropout not supported yet"
     setup = build_a2a_setup(cfg, metapath_edges, mesh, axis)
     P_ = setup["n_shards"]
     r_loc = setup["r_loc"]
@@ -220,9 +240,12 @@ def make_a2a_parts(
             h = h * channel_mask[None, :, None]
         return _fuse_channels(cfg, params, h)  # [r_loc, F]
 
-    def local_loss(params, batch, row_mask, graphs, splans, dplans):
+    def local_loss(params, batch, row_mask, key, graphs, splans, dplans):
         x_shard = params["x"]
-        h = _a2a_forward(cfg, setup, axis, params, x_shard, graphs, splans, dplans)
+        h = _a2a_forward(
+            cfg, setup, axis, params, x_shard, graphs, splans, dplans,
+            dropout_key=key if cfg.dropout > 0.0 else None,
+        )
         cached = _fuse_channels(cfg, params, h)  # [r_loc, F]
         b_loc = batch.shape[0]
         ids3 = jnp.concatenate([batch[:, 0], batch[:, 1], batch[:, 2]])
@@ -261,12 +284,12 @@ def make_a2a_parts(
             )
         return loss
 
-    def sharded_grads(params, batch, row_mask, graphs, splans, dplans):
+    def sharded_grads(params, batch, row_mask, key, graphs, splans, dplans):
         # plan arrays arrive with a leading size-1 device axis — strip it
         splans = jax.tree_util.tree_map(lambda a: a[0], splans)
         dplans = jax.tree_util.tree_map(lambda a: a[0], dplans)
         loss, grads = jax.value_and_grad(local_loss)(
-            params, batch, row_mask, graphs, splans, dplans
+            params, batch, row_mask, key, graphs, splans, dplans
         )
         # x's gradient is already globally complete (every device's request
         # cotangents arrived via the lookup transposes' reverse all_to_all);
@@ -289,14 +312,14 @@ def make_a2a_parts(
         return jax.shard_map(
             sharded_grads,
             mesh=mesh,
-            in_specs=(pspec, P(axis, None), P(axis), graph_specs, splan_specs, dplan_specs),
+            in_specs=(pspec, P(axis, None), P(axis), P(), graph_specs, splan_specs, dplan_specs),
             out_specs=(P(), pspec),
             check_vma=False,
         )
 
     def step(params, opt_state, batch, row_mask, key):
         loss, grads = smapped(params)(
-            params, batch, row_mask, graphs, splans, dplans
+            params, batch, row_mask, key, graphs, splans, dplans
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss

@@ -164,3 +164,51 @@ def test_sharded_kg_trainer_parity(variant):
     m1 = sh.evaluate(p1, kv)
     np.testing.assert_allclose(np.asarray(m0["HR"]), np.asarray(m1["HR"]), atol=5e-3)
     np.testing.assert_allclose(float(m0["AUC"]), float(m1["AUC"]), atol=5e-3)
+
+
+def test_a2a_multihead_gat_parity():
+    """heads > 1 in the sharded GAT forward (round-2 verdict item 7): the
+    a2a epoch matches the single-device multi-head PEAGAT run."""
+    hin, _, tcfg, edges = _setup()
+    cfg = PEAConfig(
+        conv="gat", num_nodes=hin.num_nodes, meta_path_steps=(2,) * 9,
+        emb_dim=16, hidden_size=8, repr_dim=8, num_heads=2, entity_aware=True,
+    )
+    base = PEATrainer(hin, cfg, tcfg, metapath_edges=edges)
+    sh = ShardedPEATrainer(hin, cfg, tcfg, metapath_edges=edges, mode="a2a")
+    p0, o0 = base.init(31)
+    p1, o1 = sh.init(31)
+    key = jax.random.PRNGKey(9)
+    p0, o0, l0 = base.run_epoch(p0, o0, key)
+    p1, o1, l1 = sh.run_epoch(p1, o1, key)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=2e-4)
+    kv = jax.random.PRNGKey(10)
+    m0 = base.evaluate(p0, kv)
+    m1 = sh.evaluate(p1, kv)
+    np.testing.assert_allclose(np.asarray(m0["HR"]), np.asarray(m1["HR"]), atol=5e-3)
+
+
+def test_a2a_attention_dropout_trains():
+    """Attention dropout in the sharded GAT forward: per-device masks (RNG
+    folded by axis_index), statistically the single-device regularizer.
+    Exact loss parity is impossible by construction; assert training is
+    finite and the NO-dropout eval of the trained params matches the
+    single-device evaluator on the same params."""
+    hin, _, tcfg, edges = _setup()
+    cfg = PEAConfig(
+        conv="gat", num_nodes=hin.num_nodes, meta_path_steps=(2,) * 9,
+        emb_dim=16, hidden_size=16, repr_dim=8, dropout=0.3, entity_aware=False,
+    )
+    sh = ShardedPEATrainer(hin, cfg, tcfg, metapath_edges=edges, mode="a2a")
+    p1, o1 = sh.init(41)
+    p1, o1, l1 = sh.run_epoch(p1, o1, jax.random.PRNGKey(1))
+    assert np.isfinite(float(l1))
+    # eval (dropout off) must agree with the single-device evaluator given
+    # the same trained params
+    base = PEATrainer(hin, cfg, tcfg, metapath_edges=edges)
+    host_params = jax.tree_util.tree_map(lambda a: np.asarray(a), p1)
+    kv = jax.random.PRNGKey(2)
+    m0 = base.evaluate(host_params, kv)
+    m1 = sh.evaluate(p1, kv)
+    np.testing.assert_allclose(np.asarray(m0["HR"]), np.asarray(m1["HR"]), atol=5e-3)
+    np.testing.assert_allclose(float(m0["AUC"]), float(m1["AUC"]), atol=5e-3)

@@ -91,15 +91,61 @@ def main():
 
         return jax.jit(epoch)
 
-    prev = 0.0
+    import json
+
+    from graph_recsys_benchmark_tpu.utils.roofline import (
+        V5E_HBM_BYTES_PER_S,
+        cost_numbers,
+    )
+
+    prev_ms = 0.0
+    prev_bytes = 0.0
+    prev_flops = 0.0
+    stages = {}
     for mode in ["sample", "fwd", "bwd", "full"]:
-        dt = timed_epoch(make_epoch(mode), params, opt_state)
-        ms = dt / num_batches * 1e3
-        print(
-            f"{mode:7s}: {dt:.3f}s/epoch  {ms:7.3f} ms/step  (+{ms - prev:6.3f})  "
-            f"{n_rows / dt:,.0f} ex/s"
+        fn = make_epoch(mode)
+        dt = timed_epoch(fn, params, opt_state)
+        flops, bytes_acc = cost_numbers(
+            fn.lower(params, opt_state, jax.random.PRNGKey(0)).compile()
         )
-        prev = ms
+        ms = dt / num_batches * 1e3
+        d_ms = ms - prev_ms
+        d_bytes = bytes_acc / num_batches - prev_bytes
+        d_flops = flops / num_batches - prev_flops
+        gbps = bytes_acc / dt / 1e9 if dt else 0.0
+        stage_gbps = d_bytes / (d_ms * 1e-3) / 1e9 if d_ms > 0 else 0.0
+        stages[mode] = {
+            "ms_per_step": round(ms, 3),
+            "stage_delta_ms": round(d_ms, 3),
+            "bytes_per_step": round(bytes_acc / num_batches),
+            "stage_delta_bytes": round(d_bytes),
+            "stage_delta_flops": round(d_flops),
+            "cum_hbm_gbps": round(gbps, 1),
+            "stage_hbm_gbps": round(stage_gbps, 1),
+            "stage_hbm_util": round(stage_gbps * 1e9 / V5E_HBM_BYTES_PER_S, 4),
+        }
+        print(
+            f"{mode:7s}: {dt:.3f}s/epoch  {ms:7.3f} ms/step  (+{d_ms:6.3f})  "
+            f"{n_rows / dt:,.0f} ex/s  stage {stage_gbps:6.1f} GB/s "
+            f"({stages[mode]['stage_hbm_util']:.0%} of v5e HBM)"
+        )
+        prev_ms, prev_bytes, prev_flops = ms, bytes_acc / num_batches, flops / num_batches
+
+    out = {
+        "metric": "flagship_step_phase_roofline",
+        "unit": "per-step bytes / achieved GB/s (v5e peak 819)",
+        "stages": stages,
+        "note": "stages are cumulative program variants (sample -> +forward "
+                "-> +backward -> +adam); deltas attribute bytes/time to each "
+                "phase; bytes from XLA post-fusion cost model incl. Pallas "
+                "CostEstimates",
+    }
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "ROOFLINE.json"
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"wrote": path}))
 
 
 if __name__ == "__main__":
