@@ -38,20 +38,25 @@ def resolve(use_pallas, default):
         return FORCE_PALLAS
     return default
 
-# Per-TILE VMEM byte budget for the localized scatter-add accumulator
-# (~16 MiB VMEM/core on v5e; leave room for edge-chunk blocks).  Node
-# tables larger than one tile split into ceil(bytes/budget) row tiles; the
-# kernel makes one pass over the edge chunks per tile (each pass re-reads
-# the cotangent blocks), clamping every chunk's window span to the tile.
+# Scatter-accumulator VMEM budgets, in PHYSICAL bytes (f32 rows occupy
+# ceil(k/128)*128 lanes under the (8,128) tiling).  A SINGLE tile may use
+# up to this much: a constant-index output block is fetched once for the
+# whole grid (no double-buffering), so the v5e's ~16 MiB scoped VMEM fits
+# it plus the edge-chunk scratch (measured: the 10.7 MB flagship
+# accumulator compiles and wins at bench scale).
+SCATTER_SINGLE_TILE_LIMIT = 12 * 1024 * 1024
+
+# Per-TILE budget once the table needs MULTIPLE tiles: alternating output
+# blocks ARE double-buffered, so each tile must fit twice.
 VMEM_TABLE_BUDGET = 6 * 1024 * 1024
 
 # Max scatter row-tiles before falling back to the permuted sorted
-# segment-sum.  Each tile costs one extra pass over the [K, E] cotangent
-# (~150 B/edge at bf16 transport) — vs the fallback's E->E permutation
-# gather measured at 8.5 GB/s, even 16 passes win at the ML-25M regime
-# (69k nodes = 6 tiles at the lane-padded 128-col physical row width;
-# measured delta in BENCH_25m.json).
-MAX_SCATTER_TILES = 16
+# segment-sum.  Each extra tile costs one full pass over the [K, E]
+# cotangent chunks.  Measured on v5e: 1 tile wins (bench scale, in the
+# flagship number); 6 tiles LOSE 23% to the sorted fallback at the ML-25M
+# regime (BENCH_25m.json sweep: 4378 vs 5713 ex/s) — the crossover is
+# below 6, so stay conservative until a mid-scale point is measured.
+MAX_SCATTER_TILES = 2
 
 # Use the one-pass flash-GAT backward megakernel instead of the composed
 # broadcast/gather/scatter pipeline (measured slower on v5e at bench scale;

@@ -750,14 +750,19 @@ def scatter_num_tiles(num_rows, k, budget_bytes=None):
     so every accumulator row occupies ceil(k_pad/128)*128 lanes regardless
     of the logical width (a [69k, 24] accumulator really costs 35 MB, not
     6.6 MB — measured as a Mosaic scoped-vmem OOM at ML-25M scale)."""
-    if budget_bytes is None:
-        from . import config as _cfg
+    from . import config as _cfg
 
+    if budget_bytes is None:
         budget_bytes = _cfg.VMEM_TABLE_BUDGET
     k_pad = max(8, _cdiv(k, 8) * 8)
     k_lanes = _cdiv(k_pad, 128) * 128  # physical lanes per row (T(8,128))
     n_pad = _cdiv(num_rows + 1, _BR) * _BR
-    return max(1, _cdiv(n_pad * k_lanes * 4, budget_bytes))
+    phys = n_pad * k_lanes * 4
+    # one tile = one constant-index output block, fetched once (no double
+    # buffer) — a larger single-tile limit applies (config rationale)
+    if phys <= _cfg.SCATTER_SINGLE_TILE_LIMIT:
+        return 1
+    return max(2, _cdiv(phys, budget_bytes))
 
 
 def scatter_fits_vmem(num_rows, k, budget_bytes=None):

@@ -19,15 +19,32 @@ import numpy as np
 from flax import serialization
 
 
+def _host_copy(tree):
+    """Pull a pytree to host numpy; multi-process leaves (shards living on
+    other hosts' devices) are re-assembled with an all-gather so every
+    process serializes the full array (rank 0 is the only writer)."""
+
+    def fetch(x):
+        if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(fetch, tree)
+
+
 def save_checkpoint(path, params, opt_state, epoch, rec_metrics):
     """rec_metrics: dict of numpy arrays (per-epoch metric history)."""
-    os.makedirs(os.path.dirname(path), exist_ok=True)
     payload = {
         "epoch": int(epoch),
-        "params": serialization.to_bytes(params),
-        "opt_state": serialization.to_bytes(opt_state),
+        "params": serialization.to_bytes(_host_copy(params)),
+        "opt_state": serialization.to_bytes(_host_copy(opt_state)),
         "rec_metrics": {k: np.asarray(v) for k, v in rec_metrics.items()},
     }
+    if jax.process_index() != 0:
+        return  # the gather above keeps processes in lockstep; rank 0 writes
+    os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         pickle.dump(payload, f, protocol=4)

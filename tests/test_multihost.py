@@ -153,6 +153,26 @@ _WORKER = textwrap.dedent(
     loss = float(loss)  # replicated output: readable on every process
     hr10 = float(m["HR"][5])
     assert np.isfinite(loss) and np.isfinite(hr10), (loss, hr10)
+
+    # cross-host checkpoint round-trip: rank 0 writes the process_allgather'd
+    # state; both ranks restore onto the original (cross-process) shardings
+    import os as _os
+
+    from graph_recsys_benchmark_tpu.utils.checkpoint import (
+        load_checkpoint, save_checkpoint,
+    )
+
+    ckpt = _os.path.join(%(ckpt_dir)r, "latest.ckpt")
+    save_checkpoint(ckpt, params, opt, 1, {"HR": np.zeros((1, 16))})
+    # barrier so rank 1 doesn't read before rank 0 finishes writing
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("ckpt_written")
+    t2, o2 = trainer.init(2020)
+    t2, o2, epoch, hist = load_checkpoint(ckpt, t2, o2)
+    assert epoch == 1 and not t2["x"].is_fully_addressable
+    diff = float(jax.jit(lambda a, b: jnp.max(jnp.abs(a - b)))(t2["x"], params["x"]))
+    assert diff == 0.0, diff
     print("MULTIHOST_OK", rank, tot, "a2a_loss", loss, "hr10", hr10)
     """
 )
@@ -170,7 +190,9 @@ def test_two_process_cpu_cluster(tmp_path):
         port = s.getsockname()[1]
 
     script = tmp_path / "worker.py"
-    script.write_text(_WORKER % {"repo": REPO, "port": port})
+    script.write_text(
+        _WORKER % {"repo": REPO, "port": port, "ckpt_dir": str(tmp_path / "ckpt")}
+    )
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     env["JAX_PLATFORMS"] = "cpu"
     procs = [
