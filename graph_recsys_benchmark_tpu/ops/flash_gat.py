@@ -753,9 +753,12 @@ def _flash_bwd(num_rows, kz, negative_slope, interpret, transport, res, g):
         None, _on_tpu() and kz + 1 <= 128 and e >= 65536
     ) and kz + 1 <= 128
     if use_kernels:
+        # stays in the transport dtype: consumers upcast elementwise in
+        # registers (the values were bf16-rounded by the kernel regardless;
+        # an eager .astype(f32) would just materialize a 2x copy)
         g_e = _broadcast_forward(
             g_tab, dst, n, interpret, exact=False, out_transposed=True
-        ).astype(jnp.float32)  # [kz, E]
+        )  # [kz, E] (transport dtype)
         st_e = _broadcast_forward(
             stats, dst, n, interpret, exact=False, out_transposed=True
         )  # [3, E] f32
@@ -784,7 +787,16 @@ def _flash_bwd(num_rows, kz, negative_slope, interpret, transport, res, g):
     dalpha = att * (datt - gout_e)
     dpre = dalpha * jnp.where(pre > 0, 1.0, negative_slope)
 
-    ct_t = jnp.concatenate([att[None] * g_e, dpre[None]], axis=0)  # [k, E]
+    # ct_t feeds a custom call (no fusion INTO it), so it materializes in
+    # HBM at whatever dtype it is built — build it directly in the scatter's
+    # transport dtype instead of f32-then-cast: identical bits reach the
+    # kernel (the product was rounded to bf16 either way), and the [k, E]
+    # write+read — the single hottest backward tensor — halves.
+    ct_dtype = t_dtype if _cfg.SEGSUM_TRANSPORT == "bf16" else jnp.float32
+    ct_t = jnp.concatenate(
+        [(att[None] * g_e).astype(ct_dtype), dpre[None].astype(ct_dtype)],
+        axis=0,
+    )  # [k, E]
     use_scatter = _cfg.resolve(
         None,
         _on_tpu() and k <= 128 and e >= 65536 and scatter_fits_vmem(n, k),
