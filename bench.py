@@ -82,7 +82,10 @@ def bench_fused(trainer, epochs=2, roofline=False):
         compiled = trainer._epoch_fn.lower(
             params, opt_state, jax.random.PRNGKey(0)
         ).compile()
-        roof = roofline_report(compiled, dt, steps=trainer.num_batches)
+        # XLA's cost model counts a while/scan BODY ONCE (not x trip count),
+        # so for the scan-epoch program bytes_accessed ~= ONE step's traffic
+        # (+ small per-epoch setup); pair it with the per-step time
+        roof = roofline_report(compiled, dt / trainer.num_batches, steps=1)
     return trainer.n_rows / dt, float(loss), roof
 
 

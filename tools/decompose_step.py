@@ -105,19 +105,21 @@ def main():
     for mode in ["sample", "fwd", "bwd", "full"]:
         fn = make_epoch(mode)
         dt = timed_epoch(fn, params, opt_state)
+        # XLA's cost model counts the scan body ONCE, so bytes_accessed is
+        # (approximately) ONE step's HBM traffic, not the epoch's
         flops, bytes_acc = cost_numbers(
             fn.lower(params, opt_state, jax.random.PRNGKey(0)).compile()
         )
         ms = dt / num_batches * 1e3
         d_ms = ms - prev_ms
-        d_bytes = bytes_acc / num_batches - prev_bytes
-        d_flops = flops / num_batches - prev_flops
-        gbps = bytes_acc / dt / 1e9 if dt else 0.0
+        d_bytes = bytes_acc - prev_bytes
+        d_flops = flops - prev_flops
+        gbps = bytes_acc / (ms * 1e-3) / 1e9 if ms else 0.0
         stage_gbps = d_bytes / (d_ms * 1e-3) / 1e9 if d_ms > 0 else 0.0
         stages[mode] = {
             "ms_per_step": round(ms, 3),
             "stage_delta_ms": round(d_ms, 3),
-            "bytes_per_step": round(bytes_acc / num_batches),
+            "bytes_per_step": round(bytes_acc),
             "stage_delta_bytes": round(d_bytes),
             "stage_delta_flops": round(d_flops),
             "cum_hbm_gbps": round(gbps, 1),
@@ -129,7 +131,7 @@ def main():
             f"{n_rows / dt:,.0f} ex/s  stage {stage_gbps:6.1f} GB/s "
             f"({stages[mode]['stage_hbm_util']:.0%} of v5e HBM)"
         )
-        prev_ms, prev_bytes, prev_flops = ms, bytes_acc / num_batches, flops / num_batches
+        prev_ms, prev_bytes, prev_flops = ms, bytes_acc, flops
 
     out = {
         "metric": "flagship_step_phase_roofline",
