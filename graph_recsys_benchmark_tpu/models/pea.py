@@ -200,33 +200,47 @@ def _fused_gat_step(sp, h, g, num_channels, num_nodes, heads, concat,
         )
 
         if flash_gat_enabled(heads, dropout_active, g.dst.shape[0]):
-            # One fused pass: gather + logits + online softmax + weighted
-            # segment-sum, no [E, *] HBM intermediates (ops/flash_gat.py).
-            # The packed table is emitted COLUMN-major straight from the
-            # einsum — no [N, k] -> [k, N] transpose op on the hot path.
-            if h.ndim == 2:
-                z3 = jnp.einsum("nd,cde->ecn", h[:num_nodes], sp["w"])
-            else:
-                z3 = jnp.einsum("cnd,cde->ecn", h, sp["w"])
-            att2 = sp["att"][:, 0, 0]  # [C, 2c] (H == 1)
-            a_dst = jnp.einsum("ecn,ce->cn", z3, att2[:, :c_dim]).reshape(
-                n_virtual
-            )
-            a_src = jnp.einsum("ecn,ce->cn", z3, att2[:, c_dim:]).reshape(
-                n_virtual
-            )
+            # One fused pass per head: gather + logits + segment softmax +
+            # weighted segment-sum, no [E, *] HBM intermediates
+            # (ops/flash_gat.py).  The packed table is emitted COLUMN-major
+            # straight from the einsum — no [N, k] -> [k, N] transpose op
+            # on the hot path.  heads > 1 loops the single-head megakernel
+            # (heads are independent softmaxes over the same edge list,
+            # PyG GATConv semantics) and concatenates.
             t_dtype = (
                 jnp.bfloat16 if _cfg.SEGSUM_TRANSPORT == "bf16"
                 else jnp.float32
             )
-            packed_t = pack_gat_table(
-                z3.reshape(c_dim, n_virtual), a_src, n_virtual, t_dtype
-            )
-            out = flash_gat_attention(
-                packed_t, a_dst, g.src, g.dst, g.src_perm, g.src_sorted,
-                n_virtual, c_dim, 0.2, False, _cfg.SEGSUM_TRANSPORT,
-            )
-            out = out.reshape(num_channels, num_nodes, c_dim)
+            head_outs = []
+            for hh in range(heads):
+                w_h = sp["w"][:, :, hh * c_dim : (hh + 1) * c_dim]
+                if h.ndim == 2:
+                    z3 = jnp.einsum("nd,cde->ecn", h[:num_nodes], w_h)
+                else:
+                    z3 = jnp.einsum("cnd,cde->ecn", h, w_h)
+                att2 = sp["att"][:, 0, hh]  # [C, 2c]
+                a_dst = jnp.einsum(
+                    "ecn,ce->cn", z3, att2[:, :c_dim]
+                ).reshape(n_virtual)
+                a_src = jnp.einsum(
+                    "ecn,ce->cn", z3, att2[:, c_dim:]
+                ).reshape(n_virtual)
+                packed_t = pack_gat_table(
+                    z3.reshape(c_dim, n_virtual), a_src, n_virtual, t_dtype
+                )
+                out_h = flash_gat_attention(
+                    packed_t, a_dst, g.src, g.dst, g.src_perm, g.src_sorted,
+                    n_virtual, c_dim, 0.2, False, _cfg.SEGSUM_TRANSPORT,
+                )
+                head_outs.append(
+                    out_h.reshape(num_channels, num_nodes, c_dim)
+                )
+            if len(head_outs) == 1:
+                out = head_outs[0]
+            elif concat:
+                out = jnp.concatenate(head_outs, axis=-1)
+            else:
+                out = sum(head_outs) / heads
             return out + sp["b"][:, None, :]
 
     if h.ndim == 2:

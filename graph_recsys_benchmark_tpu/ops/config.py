@@ -59,9 +59,32 @@ VMEM_TABLE_BUDGET = 6 * 1024 * 1024
 MAX_SCATTER_TILES = 2
 
 # Use the one-pass flash-GAT backward megakernel instead of the composed
-# broadcast/gather/scatter pipeline (measured slower on v5e at bench scale;
-# kept for experimentation and interpret-mode validation).
+# broadcast/gather/scatter pipeline.  Measured slower on v5e at bench scale
+# even after the v2 merged window walk (one one-hot per window feeding both
+# gather and scatter matmuls): 210.5k vs 268.8k ex/s end-to-end — the
+# serial per-chunk dependency chain (stat-broadcast matmul -> window loop
+# with VMEM-accumulator RMW) loses to the individually pipelined
+# broadcast/gather/scatter kernels despite writing zero [E, *] HBM glue.
+# Kept for experimentation and interpret-mode validation.
 FLASH_BWD_MEGA = False
+
+# Softmax-shift strategy inside the flash-GAT forward kernel:
+#   'bound'  -> per-row precomputed safe shift m̂_i = leakyrelu(a_dst_i +
+#               max_j a_src_j).  m̂ is a true upper bound on every logit of
+#               row i (addition and leaky_relu are monotone), so
+#               exp(act − m̂) ∈ (0, 1] — no overflow ever — and the softmax
+#               ratio is mathematically independent of the shift.  Removes
+#               the online-max state entirely: per edge chunk the kernel
+#               drops a [128, C] masked-select, a [128, C] row-max, the
+#               m-regather matmul and the accumulator rescale (~0.4 us of
+#               VPU per 1024-edge chunk).  Numerics: underflow only when a
+#               row's best logit sits > ~80 BELOW a_dst_i + max(a_src) —
+#               logits that spread mean training has already diverged.
+#   'online' -> flash-attention-style running row max (the exact per-row
+#               max, robust to any logit spread).
+# Both shifts cancel exactly in real arithmetic; fp differences are
+# O(ulp) (tests pin both against the oracle).  Read at trace time.
+FLASH_SOFTMAX_SHIFT = "bound"
 
 # Flash-GAT dispatch override (None = heuristic, False = always the 5-op
 # composed pipeline, True = force where eligible).  Separate from

@@ -1,4 +1,5 @@
-"""Fused flash-style GAT attention megakernels (single head).
+"""Fused flash-style GAT attention megakernels (single head; callers loop
+heads — models/pea._fused_gat_step).
 
 Replaces the five-op edge pipeline of models/pea._fused_gat_step —
   packed src gather -> dst logit gather -> softmax stats -> stats
@@ -118,7 +119,7 @@ def _ids_pipeline(src_hbm, dst_hbm, sid_buf, did_buf, sem_ids, chunk):
 
 
 def _make_flash_kernel(chunk, k_pad, kz, t_dtype, negative_slope,
-                       table_in_vmem):
+                       table_in_vmem, bound_shift=False):
     """Forward kernel.  Strategy (v2): keep ALL per-edge math [1, chunk].
 
     The v1 kernel formed logits/exp/softmax terms as [128, chunk] blocks
@@ -138,6 +139,16 @@ def _make_flash_kernel(chunk, k_pad, kz, t_dtype, negative_slope,
     rounded shift changes nothing but fp noise; in f32 transport it is
     exact).  s rides as column `kz` of the out accumulator (z rows above kz
     are zero), so edge->row reduction is ONE matmul per chunk.
+
+    Strategy (v3, ``bound_shift``): the shift is the PRECOMPUTED per-row
+    bound m̂ (ops/config.FLASH_SOFTMAX_SHIFT) riding as column 1 of the
+    a_dst block, gathered edge-wise in the SAME [2, C] matmul as a_dst.
+    Since m̂ ≥ every logit of its row, exp(act − m̂) ∈ (0, 1] directly —
+    no running max, no masked [R, C] select/row-max, no m regather, no
+    accumulator rescale.  The exp argument is clamped at +60 only to keep
+    edges whose dst lies OUTSIDE this block (chunks straddling block
+    boundaries gather m̂_e = 0 for them) from producing inf·0 = NaN before
+    the one-hot matmul multiplies them by zero; real edges sit at ≤ ~0.01.
     """
     gather_precision = (
         jax.lax.Precision.DEFAULT
@@ -145,6 +156,150 @@ def _make_flash_kernel(chunk, k_pad, kz, t_dtype, negative_slope,
         else jax.lax.Precision.HIGHEST
     )
     acc_precision = gather_precision
+
+    def _kernel_bound(cb_ref, wm_ref, adst_ref, packed_ref, src_hbm, dst_hbm,
+                      out_ref, s_ref, *scratch):
+        if table_in_vmem:
+            sid_buf, did_buf, sem_ids = scratch
+        else:
+            win_buf, sid_buf, did_buf, sem_win, sem_ids = scratch
+        i = pl.program_id(0)
+        c_lo = cb_ref[0, i]
+        c_hi = cb_ref[1, i]
+        row0 = i * _R
+
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+        drow_ids = (
+            jax.lax.broadcasted_iota(jnp.int32, (_R, chunk), dimension=0) + row0
+        )
+        krow_is_s = (
+            jax.lax.broadcasted_iota(jnp.int32, (k_pad, chunk), dimension=0)
+            == kz
+        )
+        adst2_t = adst_ref[:, 0:2].astype(t_dtype)  # [R, 2]: [a_dst | m̂]
+
+        start_ids, wait_ids = _ids_pipeline(
+            src_hbm, dst_hbm, sid_buf, did_buf, sem_ids, chunk
+        )
+
+        @pl.when(c_lo < c_hi)
+        def _():
+            start_ids(c_lo, 0)
+
+        def body(c, _):
+            slot = jax.lax.rem(c - c_lo, 2)
+
+            @pl.when(c + 1 < c_hi)
+            def _():
+                start_ids(c + 1, jax.lax.rem(c + 1 - c_lo, 2))
+
+            wait_ids(c, slot)
+            src_ids = sid_buf[slot]  # [1, C]
+            dst_ids = did_buf[slot]  # [1, C]
+
+            win0 = wm_ref[0, c]
+            n_win = wm_ref[1, c]
+
+            if table_in_vmem:
+                def wbody(w, acc):
+                    start = (win0 + w) * _BR
+                    srow_ids = (
+                        jax.lax.broadcasted_iota(
+                            jnp.int32, (_BR, chunk), dimension=0
+                        )
+                        + start
+                    )
+                    oh = (src_ids == srow_ids).astype(t_dtype)  # [R, C]
+                    return acc + jax.lax.dot_general(
+                        packed_ref[:, pl.ds(start, _BR)],
+                        oh,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=gather_precision,
+                    )
+            else:
+                def start_win(w, wslot):
+                    pltpu.make_async_copy(
+                        packed_ref.at[:, pl.ds((win0 + w) * _BR, _BR)],
+                        win_buf.at[wslot],
+                        sem_win.at[wslot],
+                    ).start()
+
+                def wait_win(w, wslot):
+                    pltpu.make_async_copy(
+                        packed_ref.at[:, pl.ds((win0 + w) * _BR, _BR)],
+                        win_buf.at[wslot],
+                        sem_win.at[wslot],
+                    ).wait()
+
+                start_win(0, 0)
+
+                def wbody(w, acc):
+                    wslot = jax.lax.rem(w, 2)
+
+                    @pl.when(w + 1 < n_win)
+                    def _():
+                        start_win(w + 1, jax.lax.rem(w + 1, 2))
+
+                    wait_win(w, wslot)
+                    start = (win0 + w) * _BR
+                    srow_ids = (
+                        jax.lax.broadcasted_iota(
+                            jnp.int32, (_BR, chunk), dimension=0
+                        )
+                        + start
+                    )
+                    oh = (src_ids == srow_ids).astype(t_dtype)  # [R, C]
+                    return acc + jax.lax.dot_general(
+                        win_buf[wslot],
+                        oh,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=gather_precision,
+                    )
+
+            zacc = jax.lax.fori_loop(
+                0, n_win, wbody, jnp.zeros((k_pad, chunk), jnp.float32),
+                unroll=False,
+            )  # [K_pad, C]: rows [:kz] = z_e, row kz = a_src_e
+
+            oh = (dst_ids == drow_ids).astype(t_dtype)  # [R, C]
+
+            # row -> edge: [a_dst_e | m̂_e] in ONE matmul (exact: one
+            # nonzero per column)
+            a_src_e = zacc[kz : kz + 1, :]  # [1, C] f32
+            A = jax.lax.dot_general(
+                adst2_t, oh,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=gather_precision,
+            )  # [2, C]
+            pre = A[0:1, :] + a_src_e  # [1, C]
+            act = jnp.where(pre > 0, pre, negative_slope * pre)
+            # m̂ ≥ act for every real edge, so p ≤ ~1 (t_dtype rounding of
+            # m̂ can undershoot by ~2^-9 rel); the clamp only guards
+            # straddle edges whose m̂_e gathered 0 (their column of `oh` is
+            # zero, but inf·0 would be NaN)
+            p = jnp.exp(jnp.minimum(act - A[1:2, :], 60.0))  # [1, C]
+            # [p·z | p]: s rides as row kz (z rows above kz are zero)
+            wzp = jnp.where(krow_is_s, p, zacc * p).astype(t_dtype)
+            out_ref[:] += jax.lax.dot_general(
+                oh, wzp,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=acc_precision,
+            )  # [R, k_pad]
+            return ()
+
+        jax.lax.fori_loop(c_lo, c_hi, body, (), unroll=False)
+
+        s_fin = out_ref[:, kz : kz + 1]
+        s_ref[:] = s_fin
+        out_ref[:] = out_ref[:] / (s_fin + 1e-16)
+
+    if bound_shift:
+        return _kernel_bound
 
     def _kernel(cb_ref, wm_ref, adst_ref, packed_ref, src_hbm, dst_hbm,
                 out_ref, m_ref, s_ref, *scratch):
@@ -328,10 +483,27 @@ def _flash_forward_impl(packed_t, a_dst, src, dst, num_rows, kz,
     n_blocks = _cdiv(num_rows, _R)
     n_out = n_blocks * _R
 
+    from . import config as _cfg
+
+    bound_shift = getattr(_cfg, "FLASH_SOFTMAX_SHIFT", "bound") == "bound"
     packed_t = packed_t.astype(t_dtype)
-    adst_col = jnp.zeros((n_out, 1), jnp.float32).at[:n, 0].set(
-        a_dst.astype(jnp.float32)
-    )
+    if bound_shift:
+        # per-row safe shift: m̂_i = leaky(a_dst_i + max_j a_src_j), built
+        # from the SAME t_dtype-rounded values the kernel gathers, so the
+        # bound holds in kernel arithmetic (f32 add / leaky are monotone)
+        adst_r = a_dst.astype(t_dtype).astype(jnp.float32)
+        smax = jnp.max(packed_t[kz, :n].astype(jnp.float32))
+        pre_b = adst_r + smax
+        mhat = jnp.where(pre_b > 0, pre_b, negative_slope * pre_b)
+        adst_col = (
+            jnp.zeros((n_out, 2), jnp.float32)
+            .at[:n, 0].set(a_dst.astype(jnp.float32))
+            .at[:n, 1].set(mhat)
+        )
+    else:
+        adst_col = jnp.zeros((n_out, 1), jnp.float32).at[:n, 0].set(
+            a_dst.astype(jnp.float32)
+        )
     if e_pad != e:
         src = jnp.pad(src, (0, e_pad - e), constant_values=num_rows)
         dst = jnp.pad(dst, (0, e_pad - e), constant_values=num_rows)
@@ -364,31 +536,40 @@ def _flash_forward_impl(packed_t, a_dst, src, dst, num_rows, kz,
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2, 2)),
         ]
+    adst_cols = adst_col.shape[1]
+    out_specs = [
+        pl.BlockSpec((_R, k_pad), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((_R, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((n_out, k_pad), jnp.float32),
+        jax.ShapeDtypeStruct((n_out, 1), jnp.float32),
+    ]
+    if not bound_shift:  # the online kernel also emits the running max m
+        out_specs.insert(
+            1,
+            pl.BlockSpec((_R, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        )
+        out_shapes.insert(1, jax.ShapeDtypeStruct((n_out, 1), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((_R, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (_R, adst_cols), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
             packed_spec,
             pl.BlockSpec(memory_space=pl.ANY),  # src ids
             pl.BlockSpec(memory_space=pl.ANY),  # dst ids
         ],
-        out_specs=(
-            pl.BlockSpec((_R, k_pad), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_R, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_R, 1), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
-        ),
+        out_specs=tuple(out_specs),
         scratch_shapes=scratch,
     )
-    out, m, s = pl.pallas_call(
+    res = pl.pallas_call(
         _make_flash_kernel(_FC, k_pad, kz, t_dtype, negative_slope,
-                           table_in_vmem),
+                           table_in_vmem, bound_shift=bound_shift),
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((n_out, k_pad), jnp.float32),
-            jax.ShapeDtypeStruct((n_out, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_out, 1), jnp.float32),
-        ),
+        out_shape=tuple(out_shapes),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             # windows stream once per chunk + the two accumulator matmuls
@@ -402,6 +583,14 @@ def _flash_forward_impl(packed_t, a_dst, src, dst, num_rows, kz,
         ),
     )(chunk_bounds, win_meta, adst_col, packed_t,
       src.reshape(1, -1), dst.reshape(1, -1))
+    if bound_shift:
+        out, s = res
+        # residual m = the t_dtype-rounded shift the kernel actually used
+        # (matches the gathered m̂_e bitwise — same contract as the online
+        # kernel's pre-rounded running max)
+        m = mhat.astype(t_dtype).astype(jnp.float32)
+        return out[:num_rows, :kz], m, s[:num_rows, 0]
+    out, m, s = res
     return out[:num_rows, :kz], m[:num_rows, 0], s[:num_rows, 0]
 
 
@@ -409,15 +598,28 @@ def _flash_forward_impl(packed_t, a_dst, src, dst, num_rows, kz,
 
 
 def _make_flash_bwd_kernel(chunk, k_pad, kg_pad, kz, t_dtype, negative_slope):
-    """Backward megakernel (VMEM-table variant only).
+    """Backward megakernel v2 (VMEM-table variant only): ONE window walk.
 
-    Per dst block: the [g | g·out | m | s | a_dst] row table arrives as a
+    Per dst block: the [g | g·out | logden | a_dst] row table arrives as a
     free block input; per chunk it is broadcast edge-wise through ONE
-    one-hot dst matmul, `att` is recomputed flash-style from the re-gathered
-    packed sources, the per-edge cotangents stay [1, chunk]-shaped, and
-    `[att·g | dpre]` scatter-adds into the VMEM-resident ``dpacked_t``
-    accumulator through the same src windows the gather used.  ``da_dst``
-    is block-local (one small matmul per chunk).
+    one-hot dst matmul (``logden = m + log(s + 1e-16)`` folds the two
+    softmax stats into one column, as the composed pipeline does).  The
+    chunk's src windows are then walked ONCE: each window's one-hot src
+    matrix is built a single time and feeds BOTH the packed-source gather
+    and the cotangent scatter-add into the VMEM-resident ``dpacked_t``
+    accumulator — v1 walked the windows twice and built every one-hot
+    twice.  ``att``/``dpre`` are recomputed per window from that window's
+    gathered sources; columns whose src lies outside the window read
+    z_e = 0 and produce garbage cotangents, but their column of the
+    one-hot scatter matrix is zero and their ``da_dst`` contribution is
+    masked by the in-window predicate, so only the owning window's values
+    land anywhere.  ``da_dst`` accumulates block-locally (one [R, 1]
+    matmul per chunk) — no separate 1-column segment-sum pass.
+
+    Straddle columns (dst outside this block) gather an all-zero stat row:
+    ``datt`` and ``g·out`` are then exactly 0, so ``dpre = att·0 = 0`` and
+    every cotangent vanishes — provided ``att`` stays finite, which the
+    +60 exp-argument clamp guarantees (inf·0 would be NaN).
     """
     precision = (
         jax.lax.Precision.DEFAULT
@@ -469,62 +671,19 @@ def _make_flash_bwd_kernel(chunk, k_pad, kg_pad, kz, t_dtype, negative_slope):
             win0 = wm_ref[0, c]
             n_win = wm_ref[1, c]
 
-            def gbody(w, acc):
-                start = (win0 + w) * _BR
-                srow_ids = (
-                    jax.lax.broadcasted_iota(
-                        jnp.int32, (_BR, chunk), dimension=0
-                    )
-                    + start
-                )
-                oh = (src_ids == srow_ids).astype(t_dtype)
-                return acc + jax.lax.dot_general(
-                    packed_ref[:, pl.ds(start, _BR)],
-                    oh,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=precision,
-                )
-
-            zacc = jax.lax.fori_loop(
-                0, n_win, gbody, jnp.zeros((k_pad, chunk), jnp.float32),
-                unroll=False,
-            )  # rows [:kz] = z_e, row kz = a_src_e
-
-            match_d = dst_ids == drow_ids  # [R, C]
-            oh_d = match_d.astype(jnp.float32)
+            oh_d = (dst_ids == drow_ids).astype(jnp.float32)  # [R, C]
             # row -> edge broadcast of the whole stat table, one matmul
             G = jax.lax.dot_general(
                 gt, oh_d,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=precision,
-            )  # [kg_pad, C]: rows [:kz]=g, kz=g·out, kz+1=m, kz+2=s, kz+3=adst
+            )  # [kg_pad, C]: rows [:kz]=g, kz=g·out, kz+1=logden, kz+2=adst
             gout_e = G[kz : kz + 1, :]
-            m_e = G[kz + 1 : kz + 2, :]
-            s_e = G[kz + 2 : kz + 3, :]
-            adst_e = G[kz + 3 : kz + 4, :]
-            a_src_e = zacc[kz : kz + 1, :]
+            logden_e = G[kz + 1 : kz + 2, :]
+            adst_e = G[kz + 2 : kz + 3, :]
 
-            pre = adst_e + a_src_e
-            act = jnp.where(pre > 0, pre, negative_slope * pre)
-            # sentinel edges: all gathered stats are 0 -> att = 1e16 but
-            # every cotangent below multiplies a gathered 0, staying 0
-            att = jnp.exp(act - m_e) / (s_e + 1e-16)  # [1, C]
-
-            datt = jnp.sum(
-                G[:kz, :] * zacc[:kz, :], axis=0, keepdims=True
-            )  # [1, C] = g_e · z_e
-            dalpha = att * (datt - gout_e)
-            dpre = dalpha * jnp.where(pre > 0, 1.0, negative_slope)  # [1, C]
-
-            # per-edge cotangent columns [att·g | dpre] (rows above kz zero)
-            ct = jnp.where(
-                krow == kz, dpre,
-                jnp.where(krow < kz, G[:k_pad, :] * att, 0.0),
-            ).astype(t_dtype)  # [k_pad, C]
-
-            def sbody(w, _):
+            def wbody(w, dpre_acc):
                 start = (win0 + w) * _BR
                 srow_ids = (
                     jax.lax.broadcasted_iota(
@@ -532,21 +691,56 @@ def _make_flash_bwd_kernel(chunk, k_pad, kg_pad, kz, t_dtype, negative_slope):
                     )
                     + start
                 )
-                oh = (src_ids == srow_ids).astype(t_dtype)
+                oh = (src_ids == srow_ids).astype(t_dtype)  # [BR, C]
+                zacc = jax.lax.dot_general(
+                    packed_ref[:, pl.ds(start, _BR)],
+                    oh,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=precision,
+                )  # [k_pad, C]: rows [:kz] = z_e, row kz = a_src_e
+                a_src_e = zacc[kz : kz + 1, :]
+
+                pre = adst_e + a_src_e
+                act = jnp.where(pre > 0, pre, negative_slope * pre)
+                att = jnp.exp(jnp.minimum(act - logden_e, 60.0))  # [1, C]
+
+                datt = jnp.sum(
+                    G[:kz, :] * zacc[:kz, :], axis=0, keepdims=True
+                )  # [1, C] = g_e · z_e (localizes to the owning window)
+                dalpha = att * (datt - gout_e)
+                dpre = dalpha * jnp.where(
+                    pre > 0, 1.0, negative_slope
+                )  # [1, C]
+
+                # per-edge cotangent columns [att·g | dpre] (rows > kz zero)
+                ct = jnp.where(
+                    krow == kz, dpre,
+                    jnp.where(krow < kz, G[:k_pad, :] * att, 0.0),
+                ).astype(t_dtype)  # [k_pad, C]
+
                 # sublane-dim slice update: lane-dim dynamic RMW is slow on
-                # Mosaic, so the accumulator is row-major [n_pad, k_pad]
+                # Mosaic, so the accumulator is row-major [n_pad, k_pad];
+                # the SAME one-hot that gathered this window scatters it
                 dpk_ref[pl.ds(start, _BR), :] += jax.lax.dot_general(
                     oh, ct,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=precision,
                 )  # [_BR, k_pad]
-                return ()
 
-            jax.lax.fori_loop(0, n_win, sbody, (), unroll=False)
+                inw = jnp.logical_and(
+                    src_ids >= start, src_ids < start + _BR
+                ).astype(jnp.float32)  # [1, C]: this window owns the edge
+                return dpre_acc + dpre * inw
+
+            dpre_full = jax.lax.fori_loop(
+                0, n_win, wbody, jnp.zeros((1, chunk), jnp.float32),
+                unroll=False,
+            )
 
             dadst_ref[:] += jax.lax.dot_general(
-                oh_d, dpre,
+                oh_d, dpre_full,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=precision,
@@ -560,11 +754,11 @@ def _make_flash_bwd_kernel(chunk, k_pad, kg_pad, kz, t_dtype, negative_slope):
 
 def _flash_bwd_impl(packed_t, gtab, src, dst, num_rows, kz, negative_slope,
                     interpret, transport):
-    """gtab: [n_out, kg_pad] f32 = [g | g·out | m | s | a_dst] (zero-padded).
+    """gtab: [n_out, kg_pad] f32 = [g | g·out | logden | a_dst] (zero-padded).
     Returns (dpacked_t [k_pad, n_src_pad] f32, da_dst [num_rows] f32)."""
     t_dtype = jnp.bfloat16 if transport == "bf16" else jnp.float32
     k, k_pad, n_src_pad = _layout(num_rows, kz)
-    kg_pad = max(8, _cdiv(kz + 4, 8) * 8)
+    kg_pad = max(8, _cdiv(kz + 3, 8) * 8)
     e = dst.shape[0]
     e_pad = _cdiv(e, _FC_BWD) * _FC_BWD
     n_chunks = e_pad // _FC_BWD
@@ -691,18 +885,17 @@ def _flash_bwd(num_rows, kz, negative_slope, interpret, transport, res, g):
         and _on_tpu() and _bwd_fits_vmem(num_rows, kz, transport)
     )
     if use_mega:
-        kg_pad = max(8, _cdiv(kz + 4, 8) * 8)
+        kg_pad = max(8, _cdiv(kz + 3, 8) * 8)
         n_blocks = _cdiv(num_rows, _R)
         n_out = n_blocks * _R
         gtab = jnp.zeros((n_out, kg_pad), jnp.float32)
         gtab = gtab.at[:n, :kz].set(g)
         gtab = gtab.at[:n, kz].set(jnp.sum(g * out, axis=1))
-        gtab = gtab.at[:n, kz + 1].set(m)
-        gtab = gtab.at[:n, kz + 2].set(s)
+        gtab = gtab.at[:n, kz + 1].set(m + jnp.log(s + 1e-16))
         # pre-round a_dst to the transport dtype so the recomputed logits
         # match the forward kernel's (which gathered a t_dtype a_dst) exactly
         t_dtype = jnp.bfloat16 if transport == "bf16" else jnp.float32
-        gtab = gtab.at[:n, kz + 3].set(
+        gtab = gtab.at[:n, kz + 2].set(
             a_dst.astype(t_dtype).astype(jnp.float32)
         )
         dpk, da_dst = _flash_bwd_impl(
@@ -836,12 +1029,14 @@ def flash_gat_reference(packed_t, a_dst, src, dst, num_rows, kz,
 
 
 def flash_gat_enabled(heads, dropout_active, num_edges, use_pallas=None):
-    """Dispatch predicate: single head, no attention dropout, large edge
-    list, TPU backend (or forced via ops.config.FORCE_PALLAS/use_pallas;
-    ops.config.FLASH_GAT overrides just this kernel for scale sweeps)."""
+    """Dispatch predicate: no attention dropout, large edge list, TPU
+    backend (or forced via ops.config.FORCE_PALLAS/use_pallas;
+    ops.config.FLASH_GAT overrides just this kernel for scale sweeps).
+    heads > 1 is handled by the caller as a per-head loop over the
+    single-head megakernel (models/pea._fused_gat_step)."""
     from . import config as _cfg
 
-    eligible = heads == 1 and not dropout_active
+    eligible = not dropout_active
     if _cfg.FLASH_GAT is False:
         return False
     if _cfg.FLASH_GAT is True:

@@ -157,6 +157,12 @@ def _pallas_forward(msgs, dst, num_rows, interpret, transport="f32", chunk=None)
     if chunk is None:
         # tools/bench_segsum_variants.py on v5e: f32 fastest at 512; bf16 at
         # 1024 (DMA-latency-bound — bf16 halves bytes/chunk, so go bigger).
+        # Wider chunks for 1-col reductions were measured SLOWER end to end
+        # (256.5k vs 268.8k ex/s at 4096): chunk ranges are per dst block,
+        # so coarser chunks duplicate boundary chunks across neighboring
+        # blocks (~70% extra edge visits at bench scale).  Mosaic also can't
+        # lower the unpadded [R, C]x[C, 1] contraction (vector.broadcast
+        # bf16->f32 fails at C=4096) — the 8-col pad stays.
         chunk = 1024 if msg_dtype == jnp.bfloat16 else _C
     d_pad = max(8, _cdiv(d, 8) * 8)
     e_pad = _cdiv(e, chunk) * chunk

@@ -182,3 +182,42 @@ def test_flash_gat_isolated_and_empty_rows():
     ref = flash_gat_reference(packed_t, a_dst, src, dst, n, kz)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
     assert np.all(np.asarray(out)[0] == 0.0)
+
+
+@pytest.mark.parametrize("shift", ["bound", "online"])
+def test_flash_gat_shift_modes_match_oracle(shift):
+    """Both softmax-shift strategies (ops/config.FLASH_SOFTMAX_SHIFT) are
+    fp-equivalent to the oracle: the shift cancels between numerator and
+    denominator (flash_gat._make_flash_kernel v2/v3 docstrings)."""
+    from graph_recsys_benchmark_tpu.ops import config as ops_config
+
+    rng = np.random.default_rng(7)
+    n, e, kz = 300, 2500, 16
+    packed_t, a_dst, src, dst, perm, src_sorted = _make_case(
+        rng, n, e, kz, pad=19, block_order=True
+    )
+    old = ops_config.FLASH_SOFTMAX_SHIFT
+    try:
+        ops_config.FLASH_SOFTMAX_SHIFT = shift
+
+        def loss(q, a):
+            out = flash_gat_attention(
+                q, a, src, dst, perm, src_sorted, n, kz, 0.2, True, "f32"
+            )
+            return jnp.sum(out * out), out
+
+        (_, out), (gp, ga) = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True
+        )(packed_t, a_dst)
+    finally:
+        ops_config.FLASH_SOFTMAX_SHIFT = old
+
+    ref = flash_gat_reference(packed_t, a_dst, src, dst, n, kz)
+
+    def loss_ref(q, a):
+        return jnp.sum(flash_gat_reference(q, a, src, dst, n, kz) ** 2)
+
+    gp_ref, ga_ref = jax.grad(loss_ref, argnums=(0, 1))(packed_t, a_dst)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gp_ref), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(ga_ref), atol=3e-5)
