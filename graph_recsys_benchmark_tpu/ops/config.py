@@ -86,6 +86,14 @@ FLASH_BWD_MEGA = False
 # O(ulp) (tests pin both against the oracle).  Read at trace time.
 FLASH_SOFTMAX_SHIFT = "bound"
 
+# Forward-kernel grid layout for flash-GAT ('chunk' | 'block').  'chunk'
+# walks edge chunks with the packed table + output accumulator VMEM-resident
+# and ids as auto-pipelined block inputs — no manual DMA waits, no boundary
+# chunk duplication, no per-block zero/epilogue (bound-shift softmax only;
+# falls back to 'block' when the accumulator exceeds the single-tile VMEM
+# budget, e.g. the ML-25M regime).  'block' is the original dst-block grid.
+FLASH_FWD_GRID = "chunk"
+
 # Flash-GAT dispatch override (None = heuristic, False = always the 5-op
 # composed pipeline, True = force where eligible).  Separate from
 # FORCE_PALLAS so scale sweeps can A/B the megakernel without losing the

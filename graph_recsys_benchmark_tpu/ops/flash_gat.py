@@ -63,6 +63,14 @@ from .pallas_segment import (
 # one-hot build and a handful of [1, C] per-edge ops per chunk.  1024
 # measured fastest on v5e at bench scale (512/2048/4096 all slower).
 _FC = 1024
+def _fc_cm(k_pad):
+    """Chunk-major forward chunk size.  The grid walks edge chunks, so the
+    size trades per-chunk fixed cost against window-span growth (wider
+    chunks touch more src windows, and every window matmuls the whole
+    chunk).  Measured on v5e at bench scale: k_pad=72 fastest at 1024
+    (0.44 vs 0.53/0.67 ms at 2048/4096), k_pad=24 at 2048 (0.66 vs
+    0.72/0.74) — wide tables saturate on window matmul flops sooner."""
+    return 2048 if k_pad <= 32 else 1024
 # Backward chunk: the bwd kernel walks each chunk's windows twice (gather +
 # scatter) and adds two stat matmuls, so larger chunks amortize better.
 _FC_BWD = 1024
@@ -468,6 +476,207 @@ def _make_flash_kernel(chunk, k_pad, kz, t_dtype, negative_slope,
     return _kernel
 
 
+def _make_flash_fwd_chunk_kernel(chunk, k_pad, kz, t_dtype, negative_slope):
+    """Chunk-major forward kernel (bound-shift softmax only).
+
+    The block-major kernel above parallelizes over 128-row dst blocks and
+    serially walks each block's edge chunks with a hand-rolled id-DMA
+    pipeline; boundary chunks are visited by BOTH adjacent blocks and every
+    block pays its own zero-init + epilogue.  At bench scale the step is
+    overhead-bound (the MXU is <10% busy), so this variant flips the grid:
+    one grid step per EDGE chunk, with
+
+      * src/dst ids as auto-pipelined block inputs (Mosaic double-buffers
+        them across grid steps — no manual DMA, no wait on the critical
+        path),
+      * the packed source table AND the [n_pad, k_pad] output accumulator
+        VMEM-resident for the whole grid (constant index maps),
+      * the [a_dst | m̂] table column-major [8, n_pad] so dst-window slices
+        are free,
+      * per chunk: walk the chunk's src windows (gather matmuls, same math
+        as the block-major kernel), gather [a_dst|m̂] through the chunk's
+        1-2 dst windows, form p = exp(act − m̂) in [1, C] registers, and
+        scatter-add [p·z | p] into the accumulator through the SAME dst
+        one-hots (dst is block-monotone, so a chunk spans very few dst
+        windows and every edge is visited exactly once).
+
+    The s column (index kz) accumulates in-table exactly like the
+    block-major kernel; normalization happens outside (one [n_pad, k_pad]
+    XLA op) because the accumulator is shared across the whole grid.
+    Sentinel edges (dst == num_rows) land in accumulator row num_rows when
+    a window covers it and are sliced off by the caller."""
+    gather_precision = (
+        jax.lax.Precision.DEFAULT
+        if t_dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+
+    def _kernel(swm_ref, dwm_ref, adst_ref, packed_ref, sid_ref, did_ref,
+                out_ref):
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        src_ids = sid_ref[:]  # [1, C]
+        dst_ids = did_ref[:]  # [1, C]
+
+        krow_is_s = (
+            jax.lax.broadcasted_iota(jnp.int32, (k_pad, chunk), dimension=0)
+            == kz
+        )
+
+        # ---- src gather: z_e | a_src_e through the chunk's src windows
+        s_win0 = swm_ref[0, j]
+        s_nwin = swm_ref[1, j]
+
+        def sbody(w, acc):
+            start = (s_win0 + w) * _BR
+            srow_ids = (
+                jax.lax.broadcasted_iota(jnp.int32, (_BR, chunk), dimension=0)
+                + start
+            )
+            oh = (src_ids == srow_ids).astype(t_dtype)  # [R, C]
+            return acc + jax.lax.dot_general(
+                packed_ref[:, pl.ds(start, _BR)],
+                oh,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=gather_precision,
+            )
+
+        zacc = jax.lax.fori_loop(
+            0, s_nwin, sbody, jnp.zeros((k_pad, chunk), jnp.float32),
+            unroll=False,
+        )  # [k_pad, C]: rows [:kz] = z_e, row kz = a_src_e
+        a_src_e = zacc[kz : kz + 1, :]  # [1, C]
+
+        # ---- dst windows: gather [a_dst | m̂] then scatter [p·z | p]
+        d_win0 = dwm_ref[0, j]
+        d_nwin = dwm_ref[1, j]
+
+        def dgather(w, acc):
+            start = (d_win0 + w) * _BR
+            drow_ids = (
+                jax.lax.broadcasted_iota(jnp.int32, (_BR, chunk), dimension=0)
+                + start
+            )
+            oh = (dst_ids == drow_ids).astype(t_dtype)  # [R, C]
+            return acc + jax.lax.dot_general(
+                adst_ref[:, pl.ds(start, _BR)],
+                oh,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=gather_precision,
+            )
+
+        A = jax.lax.fori_loop(
+            0, d_nwin, dgather, jnp.zeros((8, chunk), jnp.float32),
+            unroll=False,
+        )  # rows: 0 = a_dst_e, 1 = m̂_e
+
+        pre = A[0:1, :] + a_src_e  # [1, C]
+        act = jnp.where(pre > 0, pre, negative_slope * pre)
+        # same clamp contract as the block-major bound-shift kernel: edges
+        # whose dst window was not walked in THIS chunk cannot exist (the
+        # span covers all real dst), but sentinel edges gather m̂ = 0 and
+        # need the +60 clamp to stay finite before landing in the pad row
+        p = jnp.exp(jnp.minimum(act - A[1:2, :], 60.0))  # [1, C]
+        wzp = jnp.where(krow_is_s, p, zacc * p).astype(t_dtype)  # [k_pad, C]
+
+        def dscatter(w, _):
+            start = (d_win0 + w) * _BR
+            drow_ids = (
+                jax.lax.broadcasted_iota(jnp.int32, (_BR, chunk), dimension=0)
+                + start
+            )
+            oh = (dst_ids == drow_ids).astype(t_dtype)  # [R, C]
+            out_ref[pl.ds(start, _BR), :] += jax.lax.dot_general(
+                oh,
+                wzp,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=gather_precision,
+            )  # [_BR, k_pad]
+            return ()
+
+        jax.lax.fori_loop(0, d_nwin, dscatter, (), unroll=False)
+
+    return _kernel
+
+
+def _flash_forward_chunkmajor(packed_t, adst_col, src, dst, num_rows, kz,
+                              negative_slope, interpret, t_dtype):
+    """Dispatch helper for the chunk-major grid.  adst_col: [n_out, 2] f32
+    ([a_dst | m̂], bound-shift layout).  Returns the raw [n_pad, k_pad] f32
+    accumulator (s in column kz, unnormalized)."""
+    k, k_pad, n_src_pad = _layout(num_rows, kz)
+    fc = _fc_cm(k_pad)
+    e = dst.shape[0]
+    e_pad = _cdiv(e, fc) * fc
+    n_chunks = e_pad // fc
+    n_pad = _cdiv(num_rows + 1, _BR) * _BR
+
+    if e_pad != e:
+        src = jnp.pad(src, (0, e_pad - e), constant_values=num_rows)
+        dst = jnp.pad(dst, (0, e_pad - e), constant_values=num_rows)
+    src = src.astype(jnp.int32)
+    dst = dst.astype(jnp.int32)
+
+    src_meta = _chunk_window_meta(src, n_chunks, fc, num_rows)
+    # dst spans INCLUDE the sentinel row so pad-edge contributions land in
+    # row num_rows (sliced off) instead of vanishing mid-kernel: clamp ids
+    # to num_rows (they already are) and extend via min/max over ALL lanes
+    dst_meta = _chunk_window_meta(dst, n_chunks, fc, num_rows + 1)
+
+    # [a_dst | m̂] column-major [8, n_pad] so dst-window slices are free
+    # (adst_col may be n_out = cdiv(num_rows, 128)*128 rows — off n_pad by
+    # one 128-block when num_rows % 128 == 0; real rows fit either way)
+    w = min(adst_col.shape[0], n_pad)
+    adst_t = jnp.zeros((8, n_pad), jnp.float32).at[0:2, :w].set(
+        adst_col[:w].T
+    )
+
+    itemsize = 2 if t_dtype == jnp.bfloat16 else 4
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec(
+                (8, n_pad), lambda j, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (k_pad, n_src_pad), lambda j, *_: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, fc), lambda j, *_: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, fc), lambda j, *_: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (n_pad, k_pad), lambda j, *_: (0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    acc = pl.pallas_call(
+        _make_flash_fwd_chunk_kernel(fc, k_pad, kz, t_dtype,
+                                     negative_slope),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, k_pad), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * e_pad * k_pad * (_BR + 2 * _R),
+            bytes_accessed=(
+                e_pad * 8
+                + k_pad * n_src_pad * itemsize
+                + n_pad * (k_pad + 8) * 4
+            ),
+            transcendentals=e_pad,
+        ),
+    )(src_meta, dst_meta, adst_t, packed_t.astype(t_dtype),
+      src.reshape(1, -1), dst.reshape(1, -1))
+    return acc
+
+
 def _flash_forward_impl(packed_t, a_dst, src, dst, num_rows, kz,
                         negative_slope, interpret, transport):
     """packed_t: [k_pad, n_src_pad] (pack_gat_table layout).
@@ -504,6 +713,34 @@ def _flash_forward_impl(packed_t, a_dst, src, dst, num_rows, kz,
         adst_col = jnp.zeros((n_out, 1), jnp.float32).at[:n, 0].set(
             a_dst.astype(jnp.float32)
         )
+    itemsize = 2 if t_dtype == jnp.bfloat16 else 4
+    # Small tables live whole in VMEM for the entire grid (index_map is
+    # constant, so Pallas fetches once) — window "DMAs" become free slices,
+    # removing the per-chunk first-window DMA latency from the critical path
+    table_in_vmem = k_pad * n_src_pad * itemsize <= _TABLE_VMEM_BYTES
+
+    # Chunk-major grid (bound-shift only): needs the packed table AND the
+    # row-major [n_pad, k_pad] f32 accumulator (128 physical lanes/row under
+    # the (8,128) tiling, regardless of k_pad) resident in VMEM together.
+    n_pad_cm = _cdiv(num_rows + 1, _BR) * _BR
+    acc_phys = n_pad_cm * _cdiv(k_pad, 128) * 128 * 4
+    chunk_major = (
+        bound_shift
+        and getattr(_cfg, "FLASH_FWD_GRID", "chunk") == "chunk"
+        and table_in_vmem
+        and k_pad * n_src_pad * itemsize + acc_phys + 8 * n_pad_cm * 4
+        <= _cfg.SCATTER_SINGLE_TILE_LIMIT
+    )
+    if chunk_major:
+        acc = _flash_forward_chunkmajor(
+            packed_t, adst_col, src, dst, num_rows, kz, negative_slope,
+            interpret, t_dtype,
+        )
+        s = acc[:num_rows, kz]
+        out = acc[:num_rows, :kz] / (s[:, None] + 1e-16)
+        m = mhat.astype(t_dtype).astype(jnp.float32)
+        return out, m, s
+
     if e_pad != e:
         src = jnp.pad(src, (0, e_pad - e), constant_values=num_rows)
         dst = jnp.pad(dst, (0, e_pad - e), constant_values=num_rows)
@@ -512,12 +749,6 @@ def _flash_forward_impl(packed_t, a_dst, src, dst, num_rows, kz,
 
     chunk_bounds = _block_chunk_bounds(dst, n_blocks, _FC)
     win_meta = _chunk_window_meta(src, n_chunks, _FC, num_rows)
-
-    itemsize = 2 if t_dtype == jnp.bfloat16 else 4
-    # Small tables live whole in VMEM for the entire grid (index_map is
-    # constant, so Pallas fetches once) — window "DMAs" become free slices,
-    # removing the per-chunk first-window DMA latency from the critical path
-    table_in_vmem = k_pad * n_src_pad * itemsize <= _TABLE_VMEM_BYTES
     if table_in_vmem:
         packed_spec = pl.BlockSpec(
             (k_pad, n_src_pad), lambda i, *_: (0, 0), memory_space=pltpu.VMEM

@@ -184,6 +184,35 @@ def test_flash_gat_isolated_and_empty_rows():
     assert np.all(np.asarray(out)[0] == 0.0)
 
 
+@pytest.mark.parametrize("grid", ["chunk", "block"])
+def test_flash_gat_grid_modes_match_oracle(grid):
+    """Both forward grid layouts (ops/config.FLASH_FWD_GRID) compute the
+    same attention: 'chunk' walks edge chunks with a VMEM-resident shared
+    accumulator, 'block' walks dst blocks (flash_gat docstrings)."""
+    from graph_recsys_benchmark_tpu.ops import config as ops_config
+
+    rng = np.random.default_rng(11)
+    n, e, kz = 300, 2500, 16
+    packed_t, a_dst, src, dst, perm, src_sorted = _make_case(
+        rng, n, e, kz, pad=23, block_order=True
+    )
+    old = ops_config.FLASH_FWD_GRID
+    try:
+        ops_config.FLASH_FWD_GRID = grid
+        out, m, s = fg._flash_forward_impl(
+            packed_t, jnp.asarray(a_dst), jnp.asarray(src), jnp.asarray(dst),
+            n, kz, 0.2, True, "f32",
+        )
+    finally:
+        ops_config.FLASH_FWD_GRID = old
+    ref = flash_gat_reference(packed_t, a_dst, src, dst, n, kz)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    # the residual contract (m, s reproduce the denominator) must hold for
+    # the composed backward regardless of grid layout
+    den = np.exp(np.asarray(m)) * np.asarray(s)
+    assert np.all(np.isfinite(den))
+
+
 @pytest.mark.parametrize("shift", ["bound", "online"])
 def test_flash_gat_shift_modes_match_oracle(shift):
     """Both softmax-shift strategies (ops/config.FLASH_SOFTMAX_SHIFT) are
