@@ -86,6 +86,13 @@ FLASH_BWD_MEGA = False
 # O(ulp) (tests pin both against the oracle).  Read at trace time.
 FLASH_SOFTMAX_SHIFT = "bound"
 
+# Use the chunk-major backward GLUE kernel (flash_gat._make_bwd_glue_kernel):
+# one streaming pass replaces the two dst stat broadcasts, the src re-gather,
+# the XLA elementwise glue and the 1-column da_dst segment-sum; only the src
+# scatter stays a separate kernel.  Falls back to the composed pipeline when
+# the packed + stat tables exceed the single-tile VMEM budget (ML-25M scale).
+FLASH_BWD_GLUE = True
+
 # Forward-kernel grid layout for flash-GAT ('chunk' | 'block').  'chunk'
 # walks edge chunks with the packed table + output accumulator VMEM-resident
 # and ids as auto-pipelined block inputs — no manual DMA waits, no boundary

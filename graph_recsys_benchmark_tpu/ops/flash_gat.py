@@ -828,6 +828,220 @@ def _flash_forward_impl(packed_t, a_dst, src, dst, num_rows, kz,
 # ------------------------------------------------------------------ backward
 
 
+def _make_bwd_glue_kernel(chunk, k_pad, kg_pad, kz, t_dtype, ct_dtype,
+                          negative_slope):
+    """Chunk-major backward GLUE kernel: everything but the src scatter.
+
+    Replaces four pieces of the composed backward — the g-cotangent dst
+    broadcast, the stats dst broadcast, the packed-source src re-gather and
+    the 1-column da_dst segment-sum — plus their XLA elementwise glue, with
+    ONE streaming pass over the edge chunks:
+
+      * gtab_t [kg_pad, n_pad] f32 ([g | g·out | logden | a_dst] column-
+        major) and the packed source table are VMEM-resident for the whole
+        grid; src/dst ids are auto-pipelined block inputs,
+      * per chunk: re-gather sources through the chunk's src windows,
+        gather the stat table through its 1-2 dst windows (dst is
+        block-monotone), form att/datt/dalpha/dpre in [1, C] registers,
+      * emit the per-edge cotangent columns ``[att·g | dpre]`` as the
+        chunk's OUTPUT block (auto-written, feeds the src scatter kernel),
+      * accumulate da_dst into a window-major [n_pad/128, 128] f32 VMEM
+        accumulator (row = dst window): the [1, C] dpre row one-hot-reduces
+        to [1, 128] per window, and the singleton-sublane dynamic
+        read-modify-write is the fast Mosaic pattern (61 KB at bench scale
+        vs 7.9 MB for a [n_pad, 1] column under (8,128) tiling).
+
+    Sentinel edges (dst == num_rows) gather an all-zero stat row, so
+    datt = gout = 0 ⇒ dpre = 0 and every cotangent column vanishes (the
+    +60 exp clamp keeps att finite first); the padded tail of the ct output
+    is therefore exactly zero, which is the scatter kernel's contract."""
+    gather_precision = (
+        jax.lax.Precision.DEFAULT
+        if t_dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
+
+    def _kernel(swm_ref, dwm_ref, gtab_ref, packed_ref, sid_ref, did_ref,
+                ct_ref, dadst_ref):
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            dadst_ref[:] = jnp.zeros_like(dadst_ref)
+
+        src_ids = sid_ref[:]  # [1, C]
+        dst_ids = did_ref[:]  # [1, C]
+
+        # ---- src re-gather: z_e | a_src_e
+        s_win0 = swm_ref[0, j]
+        s_nwin = swm_ref[1, j]
+
+        def sbody(w, acc):
+            start = (s_win0 + w) * _BR
+            srow_ids = (
+                jax.lax.broadcasted_iota(jnp.int32, (_BR, chunk), dimension=0)
+                + start
+            )
+            oh = (src_ids == srow_ids).astype(t_dtype)
+            return acc + jax.lax.dot_general(
+                packed_ref[:, pl.ds(start, _BR)],
+                oh,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=gather_precision,
+            )
+
+        zacc = jax.lax.fori_loop(
+            0, s_nwin, sbody, jnp.zeros((k_pad, chunk), jnp.float32),
+            unroll=False,
+        )
+        a_src_e = zacc[kz : kz + 1, :]
+
+        # ---- dst gather of the stat table (f32; one-hot select through
+        # bf16x3 products is exact enough for gradients — the composed
+        # path's broadcasts used the same DEFAULT-precision trade)
+        d_win0 = dwm_ref[0, j]
+        d_nwin = dwm_ref[1, j]
+
+        def dgather(w, acc):
+            start = (d_win0 + w) * _BR
+            drow_ids = (
+                jax.lax.broadcasted_iota(jnp.int32, (_BR, chunk), dimension=0)
+                + start
+            )
+            oh = (dst_ids == drow_ids).astype(jnp.float32)
+            return acc + jax.lax.dot_general(
+                gtab_ref[:, pl.ds(start, _BR)],
+                oh,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+
+        G = jax.lax.fori_loop(
+            0, d_nwin, dgather, jnp.zeros((kg_pad, chunk), jnp.float32),
+            unroll=False,
+        )  # rows [:kz]=g_e, kz=gout_e, kz+1=logden_e, kz+2=adst_e
+        gout_e = G[kz : kz + 1, :]
+        logden_e = G[kz + 1 : kz + 2, :]
+        adst_e = G[kz + 2 : kz + 3, :]
+
+        pre = adst_e + a_src_e
+        act = jnp.where(pre > 0, pre, negative_slope * pre)
+        att = jnp.exp(jnp.minimum(act - logden_e, 60.0))  # [1, C]
+
+        krow = jax.lax.broadcasted_iota(jnp.int32, (k_pad, chunk), dimension=0)
+        zmask = (krow < kz).astype(jnp.float32)
+        datt = jnp.sum(
+            G[:k_pad, :] * zacc * zmask, axis=0, keepdims=True
+        )  # [1, C] = g_e · z_e (row kz of zacc is a_src — masked out)
+        dalpha = att * (datt - gout_e)
+        dpre = dalpha * jnp.where(pre > 0, 1.0, negative_slope)  # [1, C]
+
+        ct_ref[:] = jnp.where(
+            krow == kz, dpre, jnp.where(krow < kz, G[:k_pad, :] * att, 0.0)
+        ).astype(ct_dtype)
+
+        def dscatter(w, _):
+            start = (d_win0 + w) * _BR
+            drow_ids = (
+                jax.lax.broadcasted_iota(jnp.int32, (_BR, chunk), dimension=0)
+                + start
+            )
+            oh = (dst_ids == drow_ids).astype(jnp.float32)
+            partial = jax.lax.dot_general(
+                dpre, oh,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )  # [1, _BR]
+            dadst_ref[pl.ds(d_win0 + w, 1), :] += partial
+            return ()
+
+        jax.lax.fori_loop(0, d_nwin, dscatter, (), unroll=False)
+
+    return _kernel
+
+
+def _bwd_glue_impl(packed_t, gtab_t, src, dst, num_rows, kz, negative_slope,
+                   interpret, transport):
+    """Returns (ct_t [k_pad, e_pad] ct_dtype — zero-padded, scatter-ready;
+    da_dst [num_rows] f32).  gtab_t: [kg_pad, n_pad] f32 column-major."""
+    from . import config as _cfg
+
+    t_dtype = jnp.bfloat16 if transport == "bf16" else jnp.float32
+    ct_dtype = (
+        jnp.bfloat16 if _cfg.SEGSUM_TRANSPORT == "bf16" else jnp.float32
+    )
+    k, k_pad, n_src_pad = _layout(num_rows, kz)
+    kg_pad = max(8, _cdiv(kz + 3, 8) * 8)
+    n_pad = _cdiv(num_rows + 1, _BR) * _BR
+    assert gtab_t.shape == (kg_pad, n_pad), (gtab_t.shape, (kg_pad, n_pad))
+    fc = _fc_cm(k_pad)
+    e = dst.shape[0]
+    e_pad = _cdiv(e, fc) * fc
+    n_chunks = e_pad // fc
+    n_wins = n_pad // _BR
+
+    if e_pad != e:
+        src = jnp.pad(src, (0, e_pad - e), constant_values=num_rows)
+        dst = jnp.pad(dst, (0, e_pad - e), constant_values=num_rows)
+    src = src.astype(jnp.int32)
+    dst = dst.astype(jnp.int32)
+
+    src_meta = _chunk_window_meta(src, n_chunks, fc, num_rows)
+    dst_meta = _chunk_window_meta(dst, n_chunks, fc, num_rows + 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec(
+                (kg_pad, n_pad), lambda j, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (k_pad, n_src_pad), lambda j, *_: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, fc), lambda j, *_: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, fc), lambda j, *_: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (k_pad, fc), lambda j, *_: (0, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (n_wins, _BR), lambda j, *_: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+    )
+    t_item = 2 if t_dtype == jnp.bfloat16 else 4
+    ct_item = 2 if ct_dtype == jnp.bfloat16 else 4
+    ct_t, dadst_w = pl.pallas_call(
+        _make_bwd_glue_kernel(fc, k_pad, kg_pad, kz, t_dtype, ct_dtype,
+                              negative_slope),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((k_pad, e_pad), ct_dtype),
+            jax.ShapeDtypeStruct((n_wins, _BR), jnp.float32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * e_pad * (k_pad * _BR + kg_pad * 2 * _R + _BR),
+            bytes_accessed=(
+                e_pad * 8
+                + k_pad * n_src_pad * t_item
+                + kg_pad * n_pad * 4
+                + k_pad * e_pad * ct_item
+                + n_pad * 4
+            ),
+            transcendentals=e_pad,
+        ),
+    )(src_meta, dst_meta, gtab_t, packed_t.astype(t_dtype),
+      src.reshape(1, -1), dst.reshape(1, -1))
+    return ct_t, dadst_w.reshape(-1)[:num_rows]
+
+
 def _make_flash_bwd_kernel(chunk, k_pad, kg_pad, kz, t_dtype, negative_slope):
     """Backward megakernel v2 (VMEM-table variant only): ONE window walk.
 
@@ -1111,9 +1325,8 @@ def _flash_bwd(num_rows, kz, negative_slope, interpret, transport, res, g):
     # broadcast/gather/scatter kernels).  Composed is the TPU default.
     from . import config as _cfg_mod
 
-    use_mega = interpret or (
-        getattr(_cfg_mod, "FLASH_BWD_MEGA", False)
-        and _on_tpu() and _bwd_fits_vmem(num_rows, kz, transport)
+    use_mega = getattr(_cfg_mod, "FLASH_BWD_MEGA", False) and (
+        interpret or (_on_tpu() and _bwd_fits_vmem(num_rows, kz, transport))
     )
     if use_mega:
         kg_pad = max(8, _cdiv(kz + 3, 8) * 8)
@@ -1169,6 +1382,66 @@ def _flash_bwd(num_rows, kz, negative_slope, interpret, transport, res, g):
         axis=1,
     )  # [N, 3] f32
     e = dst.shape[0]
+    # Chunk-major glue kernel: replaces both broadcasts, the src re-gather,
+    # the XLA glue AND the 1-col da_dst segment-sum with one streaming pass
+    # (see _make_bwd_glue_kernel) — only the src scatter remains separate.
+    kg_pad = max(8, _cdiv(kz + 3, 8) * 8)
+    n_pad_g = _cdiv(num_rows + 1, _BR) * _BR
+    t_item = 2 if t_dtype == jnp.bfloat16 else 4
+    glue_fits = (
+        k_pad * n_src_pad * t_item + kg_pad * n_pad_g * 4
+        <= _cfg.SCATTER_SINGLE_TILE_LIMIT
+    )
+    use_glue = (
+        getattr(_cfg, "FLASH_BWD_GLUE", True)
+        and kz + 1 <= 128
+        and glue_fits
+        and (interpret or _cfg.resolve(None, _on_tpu() and e >= 65536))
+    )
+    if use_glue:
+        gtab_t = jnp.zeros((kg_pad, n_pad_g), jnp.float32)
+        # g pre-rounded to the transport dtype: the composed path broadcast
+        # g in t_dtype, so datt sees identical inputs on both paths
+        gtab_t = gtab_t.at[:kz, :n].set(
+            g.T.astype(t_dtype).astype(jnp.float32)
+        )
+        gtab_t = gtab_t.at[kz, :n].set(jnp.sum(g * out, axis=1))
+        gtab_t = gtab_t.at[kz + 1, :n].set(m + jnp.log(s + 1e-16))
+        gtab_t = gtab_t.at[kz + 2, :n].set(
+            a_dst.astype(t_dtype).astype(jnp.float32)
+        )
+        ct_t, da_dst = _bwd_glue_impl(
+            packed_t, gtab_t, src, dst, num_rows, kz, negative_slope,
+            interpret, transport,
+        )
+        from .pallas_segment import (
+            localized_scatter_add_pallas as _scatter,
+            scatter_fits_vmem as _sfits,
+            segment_sum_auto as _ssum,
+        )
+
+        e_pad_g = ct_t.shape[1]
+        src_p = src
+        if e_pad_g != e:
+            src_p = jnp.pad(src, (0, e_pad_g - e), constant_values=num_rows)
+        if _cfg.resolve(
+            None, _on_tpu() and k_pad <= 128 and _sfits(n, k_pad)
+        ) and (k_pad <= 128 and _sfits(n, k_pad)):
+            dpacked = _scatter(
+                None, src_p, n, interpret=interpret,
+                transport=_cfg.SEGSUM_TRANSPORT, ct_t=ct_t,
+            )  # [n, k_pad] (pad cols are zero)
+        else:
+            dpacked = _ssum(
+                ct_t.T[:e][src_perm], src_sorted, n
+            )  # drop pad edges first: perm indexes the real edge list
+        dpk = (
+            jnp.zeros((k_pad, n_src_pad), jnp.float32)
+            .at[:, :n].set(dpacked[:, :k_pad].T)
+        )
+        return (dpk.astype(packed_t.dtype), da_dst.astype(a_dst.dtype),
+                None, None, None, None)
+
     # gate on k = kz + 1: the packed [z | a_src] broadcast below runs at
     # kz + 1 columns, which must stay within the kernels' 128-column cap
     # (round-2 ADVICE: kz in 125..128 would dispatch an untested >128-col

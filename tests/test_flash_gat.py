@@ -63,8 +63,12 @@ def test_flash_gat_forward_matches_oracle(block_order, pad):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
-def test_flash_gat_gradients_match_oracle():
-    """Backward megakernel (interpret mode) vs oracle autodiff."""
+@pytest.mark.parametrize("bwd_path", ["glue", "mega"])
+def test_flash_gat_gradients_match_oracle(bwd_path):
+    """Backward kernels (interpret mode) vs oracle autodiff: the chunk-major
+    glue kernel (the TPU default) and the one-pass megakernel."""
+    from graph_recsys_benchmark_tpu.ops import config as ops_config
+
     rng = np.random.default_rng(2)
     n, e, kz = 260, 2100, 8
     packed_t, a_dst, src, dst, perm, src_sorted = _make_case(
@@ -81,7 +85,12 @@ def test_flash_gat_gradients_match_oracle():
     def f_ref(p, a):
         return jnp.sum(flash_gat_reference(p, a, src, dst, n, kz) * cot)
 
-    gp, ga = jax.jit(jax.grad(f_kernel, argnums=(0, 1)))(packed_t, a_dst)
+    old = ops_config.FLASH_BWD_MEGA
+    try:
+        ops_config.FLASH_BWD_MEGA = bwd_path == "mega"
+        gp, ga = jax.jit(jax.grad(f_kernel, argnums=(0, 1)))(packed_t, a_dst)
+    finally:
+        ops_config.FLASH_BWD_MEGA = old
     gp_ref, ga_ref = jax.grad(f_ref, argnums=(0, 1))(packed_t, a_dst)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gp_ref), atol=3e-5)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(ga_ref), atol=3e-5)
