@@ -1,9 +1,19 @@
-"""Decompose flagship step time: sampling / forward / +backward / +adam.
+"""Decompose flagship step time: sampling / forward / grad / adam.
 
-Runs the SAME scan-epoch skeleton as bench.py with the loss/grad/update
-stages progressively enabled, so each increment isolates one stage's cost.
-(Stage deltas are approximate — XLA fuses across stages — but they bound
-where the non-kernel time goes; VERDICT round 1 item 2.)
+Each phase is measured from its OWN compiled scan program — sampling
+(negative + entity batch build), forward loss, value_and_grad, and the
+Adam update — so every phase's bytes/time comes from XLA's post-fusion
+cost model of the program that actually runs that phase.  Round 3
+attributed phases by DIFFERENCING cumulative program variants; XLA fuses
+each variant differently (the 'bwd' variant's grad-consuming reductions
+don't exist in 'full'), which produced negative byte deltas (round-3
+VERDICT weak #3).  Standalone phases are non-negative by construction and
+sample + grad + adam ≈ the full fused step (the residual is cross-phase
+fusion, reported as `fusion_residual`).
+
+`grad` CONTAINS the forward (value_and_grad recomputes it); `fwd` is also
+measured standalone so `bwd_only = grad - fwd` bounds the backward-side
+cost — that one derived row is labelled as such.
 """
 
 import os
@@ -25,19 +35,24 @@ import importlib
 bench = importlib.import_module("bench")
 
 
-def timed_epoch(fn, params, opt_state, n=3):
-    key = jax.random.PRNGKey(0)
-    out = fn(params, opt_state, key)
+def timed(fn, args, n=3):
+    out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.time()
-    for i in range(n):
-        out = fn(params, opt_state, jax.random.PRNGKey(i + 1))
+    for _ in range(n):
+        out = fn(*args)
     jax.block_until_ready(out)
     return (time.time() - t0) / n
 
 
 def main():
+    import json
+
     from graph_recsys_benchmark_tpu.ops import config as ops_config
+    from graph_recsys_benchmark_tpu.utils.roofline import (
+        V5E_HBM_BYTES_PER_S,
+        cost_numbers,
+    )
 
     ops_config.SEGSUM_TRANSPORT = "bf16"
     trainer, hin = bench.build()
@@ -49,98 +64,138 @@ def main():
     n_rows = eng.n_rows
     n_pad = num_batches * bs
 
-    def make_epoch(mode):
-        def epoch(params, opt_state, key):
-            kperm, kscan = jax.random.split(key)
-            perm = jax.random.permutation(kperm, n_rows)
-            perm = jnp.pad(perm, (0, n_pad - n_rows))
-            mask_all = (jnp.arange(n_pad) < n_rows).astype(jnp.float32)
-
-            def step(carry, inputs):
-                params, opt_state = carry
-                rows, row_mask, bkey = inputs
-                kb, kl = jax.random.split(bkey)
-                batch = eng._build_batch(rows, kb)
-                if mode == "sample":
-                    # consume the batch so it isn't DCE'd
-                    return (params, opt_state), jnp.sum(batch).astype(jnp.float32)
-                if mode == "fwd":
-                    loss = eng._batch_loss(params, batch, row_mask, kl)
-                    return (params, opt_state), loss
-                loss, grads = jax.value_and_grad(
-                    lambda p: eng._batch_loss(p, batch, row_mask, kl)
-                )(params)
-                if mode == "bwd":
-                    # consume grads without the optimizer
-                    gs = sum(jnp.sum(g) for g in jax.tree_util.tree_leaves(grads))
-                    return (params, opt_state), loss + gs * 0.0
-                updates, opt_state = eng.optimizer.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), loss
-
-            (params, opt_state), losses = jax.lax.scan(
-                step,
-                (params, opt_state),
-                (
-                    perm.reshape(num_batches, bs),
-                    mask_all.reshape(num_batches, bs),
-                    jax.random.split(kscan, num_batches),
-                ),
-            )
-            return jnp.mean(losses)
-
-        return jax.jit(epoch)
-
-    import json
-
-    from graph_recsys_benchmark_tpu.utils.roofline import (
-        V5E_HBM_BYTES_PER_S,
-        cost_numbers,
+    key = jax.random.PRNGKey(0)
+    kperm, kscan = jax.random.split(key)
+    perm = jnp.pad(jax.random.permutation(kperm, n_rows), (0, n_pad - n_rows))
+    rows_all = perm.reshape(num_batches, bs)
+    masks_all = (
+        (jnp.arange(n_pad) < n_rows).astype(jnp.float32).reshape(num_batches, bs)
     )
+    bkeys = jax.random.split(kscan, num_batches)
 
-    prev_ms = 0.0
-    prev_bytes = 0.0
-    prev_flops = 0.0
-    stages = {}
-    for mode in ["sample", "fwd", "bwd", "full"]:
-        fn = make_epoch(mode)
-        dt = timed_epoch(fn, params, opt_state)
-        # XLA's cost model counts the scan body ONCE, so bytes_accessed is
-        # (approximately) ONE step's HBM traffic, not the epoch's
-        flops, bytes_acc = cost_numbers(
-            fn.lower(params, opt_state, jax.random.PRNGKey(0)).compile()
+    # ---- standalone phase programs (each a scan over the epoch's batches,
+    # so XLA's cost model — which counts a scan body once — reports ONE
+    # step's bytes for exactly this phase)
+
+    @jax.jit
+    def phase_sample(rows_all, bkeys):
+        def step(_, inp):
+            rows, bkey = inp
+            kb, _ = jax.random.split(bkey)
+            batch = eng._build_batch(rows, kb)
+            return (), jnp.sum(batch).astype(jnp.float32)
+
+        _, s = jax.lax.scan(step, (), (rows_all, bkeys))
+        return jnp.sum(s)
+
+    # batches precomputed ONCE (outside any timed phase) so fwd/grad
+    # programs contain no sampling work
+    batches = jax.jit(jax.vmap(eng._build_batch))(
+        rows_all, jax.vmap(lambda k: jax.random.split(k)[0])(bkeys)
+    )
+    lkeys = jax.vmap(lambda k: jax.random.split(k)[1])(bkeys)
+
+    @jax.jit
+    def phase_fwd(params, batches, masks, lkeys):
+        def step(_, inp):
+            batch, mask, kl = inp
+            return (), eng._batch_loss(params, batch, mask, kl)
+
+        _, losses = jax.lax.scan(step, (), (batches, masks, lkeys))
+        return jnp.mean(losses)
+
+    @jax.jit
+    def phase_grad(params, batches, masks, lkeys):
+        def step(_, inp):
+            batch, mask, kl = inp
+            loss, grads = jax.value_and_grad(
+                lambda p: eng._batch_loss(p, batch, mask, kl)
+            )(params)
+            gs = sum(jnp.sum(g) for g in jax.tree_util.tree_leaves(grads))
+            return (), loss + 0.0 * gs
+
+        _, losses = jax.lax.scan(step, (), (batches, masks, lkeys))
+        return jnp.mean(losses)
+
+    grads_once = jax.jit(
+        lambda p, b, m, k: jax.grad(lambda q: eng._batch_loss(q, b, m, k))(p)
+    )(params, batches[0], masks_all[0], lkeys[0])
+
+    @jax.jit
+    def phase_adam(params, opt_state, grads):
+        def step(carry, _):
+            params, opt_state = carry
+            updates, opt_state = eng.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), ()
+
+        (params, opt_state), _ = jax.lax.scan(
+            step, (params, opt_state), (), length=num_batches
         )
+        return jax.tree_util.tree_leaves(params)[0].sum()
+
+    # full fused step: the trainer's real epoch program
+    def phase_full(params, opt_state, key):
+        return trainer.run_epoch(params, opt_state, key)[2]
+
+    phases = {
+        "sample": (phase_sample, (rows_all, bkeys)),
+        "fwd": (phase_fwd, (params, batches, masks_all, lkeys)),
+        "grad": (phase_grad, (params, batches, masks_all, lkeys)),
+        "adam": (phase_adam, (params, opt_state, grads_once)),
+        "full": (phase_full, (params, opt_state, key)),
+    }
+
+    stages = {}
+    for name, (fn, args) in phases.items():
+        dt = timed(fn, args)
         ms = dt / num_batches * 1e3
-        d_ms = ms - prev_ms
-        d_bytes = bytes_acc - prev_bytes
-        d_flops = flops - prev_flops
+        if name == "full":
+            compiled = trainer._epoch_fn.lower(*args).compile()
+        else:
+            compiled = fn.lower(*args).compile()
+        flops, bytes_acc = cost_numbers(compiled)
         gbps = bytes_acc / (ms * 1e-3) / 1e9 if ms else 0.0
-        stage_gbps = d_bytes / (d_ms * 1e-3) / 1e9 if d_ms > 0 else 0.0
-        stages[mode] = {
+        stages[name] = {
             "ms_per_step": round(ms, 3),
-            "stage_delta_ms": round(d_ms, 3),
             "bytes_per_step": round(bytes_acc),
-            "stage_delta_bytes": round(d_bytes),
-            "stage_delta_flops": round(d_flops),
-            "cum_hbm_gbps": round(gbps, 1),
-            "stage_hbm_gbps": round(stage_gbps, 1),
-            "stage_hbm_util": round(stage_gbps * 1e9 / V5E_HBM_BYTES_PER_S, 4),
+            "flops_per_step": round(flops),
+            "hbm_gbps": round(gbps, 1),
+            "hbm_util": round(gbps * 1e9 / V5E_HBM_BYTES_PER_S, 4),
         }
         print(
-            f"{mode:7s}: {dt:.3f}s/epoch  {ms:7.3f} ms/step  (+{d_ms:6.3f})  "
-            f"{n_rows / dt:,.0f} ex/s  stage {stage_gbps:6.1f} GB/s "
-            f"({stages[mode]['stage_hbm_util']:.0%} of v5e HBM)"
+            f"{name:7s}: {dt:.3f}s/epoch  {ms:7.3f} ms/step  "
+            f"{gbps:6.1f} GB/s ({stages[name]['hbm_util']:.0%} of v5e HBM)"
         )
-        prev_ms, prev_bytes, prev_flops = ms, bytes_acc, flops
+
+    # derived backward-side bound (grad recomputes fwd; both standalone)
+    stages["bwd_only_derived"] = {
+        "ms_per_step": round(
+            stages["grad"]["ms_per_step"] - stages["fwd"]["ms_per_step"], 3
+        ),
+        "bytes_per_step": round(
+            stages["grad"]["bytes_per_step"] - stages["fwd"]["bytes_per_step"]
+        ),
+        "note": "grad - fwd (derived, not independently compiled)",
+    }
+    phase_sum_ms = round(
+        stages["sample"]["ms_per_step"]
+        + stages["grad"]["ms_per_step"]
+        + stages["adam"]["ms_per_step"],
+        3,
+    )
 
     out = {
         "metric": "flagship_step_phase_roofline",
         "unit": "per-step bytes / achieved GB/s (v5e peak 819)",
         "stages": stages,
-        "note": "stages are cumulative program variants (sample -> +forward "
-                "-> +backward -> +adam); deltas attribute bytes/time to each "
-                "phase; bytes from XLA post-fusion cost model incl. Pallas "
-                "CostEstimates",
+        "phase_sum_ms": phase_sum_ms,
+        "fusion_residual_ms": round(
+            stages["full"]["ms_per_step"] - phase_sum_ms, 3
+        ),
+        "note": "each phase measured+cost-modelled from its own compiled "
+                "scan program (bytes >= 0 by construction); sample + grad + "
+                "adam ~ full, residual = cross-phase fusion in the real step",
     }
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "ROOFLINE.json"
