@@ -71,11 +71,18 @@ class StepGraph:
     src_sorted: jnp.ndarray
     num_nodes: int
     num_edges: int  # valid (non-padding) edges
+    # Mean src-window span (128-row windows per 512-edge chunk), measured at
+    # build time.  The localized one-hot gather/flash kernels do work
+    # proportional to this span; past ops.config.GATHER_SPAN_MAX the XLA
+    # row-gather engine wins and the dispatchers fall back to it (measured
+    # on v5e at ML-25M scale: span~32 -> kernel 55 ms vs XLA 7.2 ms for a
+    # [2.2M, 66] bf16 gather; span~1.5-2 at bench scale -> kernel wins 8x).
+    src_span: float = 0.0
 
     def tree_flatten(self):
         return (
             (self.src, self.dst, self.w, self.rel, self.src_perm, self.src_sorted),
-            (self.num_nodes, self.num_edges),
+            (self.num_nodes, self.num_edges, self.src_span),
         )
 
     @classmethod
@@ -110,7 +117,25 @@ def _sort_pad(src, dst, w, rel, num_nodes, pad_to=PAD_TO):
         src_sorted=jnp.asarray(src[src_perm], dtype=jnp.int32),
         num_nodes=int(num_nodes),
         num_edges=int(e),
+        src_span=_mean_src_span(src, dst, num_nodes),
     )
+
+
+def _mean_src_span(src, dst, num_nodes, chunk=512):
+    """Mean 128-row src-window span per `chunk`-edge chunk (pad lanes
+    excluded) — the localized-kernel work factor stored on StepGraph."""
+    nch = src.shape[0] // chunk
+    if nch == 0:
+        return 0.0
+    by = src[: nch * chunk].reshape(nch, chunk)
+    real = dst[: nch * chunk].reshape(nch, chunk) < num_nodes
+    lo = np.where(real, by, num_nodes).min(axis=1)
+    hi = np.where(real, by, lo[:, None]).max(axis=1)
+    has = real.any(axis=1)
+    if not has.any():
+        return 0.0
+    spans = (hi // BLOCK - lo // BLOCK + 1)[has]
+    return float(spans.mean())
 
 
 def _with_self_loops(src, dst, num_nodes, remove_existing=True):

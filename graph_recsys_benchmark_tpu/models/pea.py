@@ -199,7 +199,8 @@ def _fused_gat_step(sp, h, g, num_channels, num_nodes, heads, concat,
             pack_gat_table,
         )
 
-        if flash_gat_enabled(heads, dropout_active, g.dst.shape[0]):
+        if flash_gat_enabled(heads, dropout_active, g.dst.shape[0],
+                             src_span=getattr(g, "src_span", 0.0)):
             # One fused pass per head: gather + logits + segment softmax +
             # weighted segment-sum, no [E, *] HBM intermediates
             # (ops/flash_gat.py).  The packed table is emitted COLUMN-major

@@ -106,3 +106,11 @@ FLASH_FWD_GRID = "chunk"
 # FORCE_PALLAS so scale sweeps can A/B the megakernel without losing the
 # segment/gather kernels (tools/bench_25m.py gate sweep).
 FLASH_GAT = None
+
+# Locality gate for the one-hot src-side kernels (localized gather and the
+# flash-GAT megakernels): their work scales with the mean src-window span
+# per edge chunk (StepGraph.src_span, measured at graph build).  Past this
+# span the XLA row-gather engine wins — measured on v5e: span~32 at ML-25M
+# scale runs the localized [2.2M, 66] bf16 gather at 55 ms vs 7.2 ms for
+# plain XLA x[src]; span~1.5-2 at bench scale inverts it 8x the other way.
+GATHER_SPAN_MAX = 6.0

@@ -1551,10 +1551,14 @@ def flash_gat_reference(packed_t, a_dst, src, dst, num_rows, kz,
     return jax.ops.segment_sum(msgs, dst, num_segments=num_rows)
 
 
-def flash_gat_enabled(heads, dropout_active, num_edges, use_pallas=None):
+def flash_gat_enabled(heads, dropout_active, num_edges, use_pallas=None,
+                      src_span=0.0):
     """Dispatch predicate: no attention dropout, large edge list, TPU
     backend (or forced via ops.config.FORCE_PALLAS/use_pallas;
     ops.config.FLASH_GAT overrides just this kernel for scale sweeps).
+    src_span = StepGraph.src_span — the megakernel's in-kernel one-hot
+    gather loses to the XLA gather engine past ops.config.GATHER_SPAN_MAX
+    (sparse graphs; see ops/stream_gat.py for the large-scale path).
     heads > 1 is handled by the caller as a per-head loop over the
     single-head megakernel (models/pea._fused_gat_step)."""
     from . import config as _cfg
@@ -1565,5 +1569,10 @@ def flash_gat_enabled(heads, dropout_active, num_edges, use_pallas=None):
     if _cfg.FLASH_GAT is True:
         return eligible
     return (
-        _cfg.resolve(use_pallas, _on_tpu() and num_edges >= 65536) and eligible
+        _cfg.resolve(
+            use_pallas,
+            _on_tpu() and num_edges >= 65536
+            and src_span <= _cfg.GATHER_SPAN_MAX,
+        )
+        and eligible
     )

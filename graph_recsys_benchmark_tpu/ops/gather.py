@@ -40,30 +40,34 @@ from .pallas_segment import (
 )
 
 
-def _gather_forward(x, idx, n):
+def _gather_forward(x, idx, n, span=0.0):
     from . import config as _cfg
 
     k = x.shape[-1] if x.ndim == 2 else 0
     use_pallas = _cfg.resolve(
-        None, _on_tpu() and x.ndim == 2 and k <= 128 and idx.shape[0] >= 65536
+        None,
+        _on_tpu() and x.ndim == 2 and k <= 128 and idx.shape[0] >= 65536
+        and span <= _cfg.GATHER_SPAN_MAX,
     ) and (x.ndim == 2 and 0 < k <= 128)
     if use_pallas:
         return _broadcast_forward(x, idx, n, False)
     return x[idx]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def gather_rows(x, idx, perm, idx_sorted, n):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def gather_rows(x, idx, perm, idx_sorted, n, span=0.0):
     """x[idx] with a kernel-dispatched forward and scatter-add backward.
-    n = x.shape[0] (static)."""
-    return _gather_forward(x, idx, n)
+    n = x.shape[0] (static); span = StepGraph.src_span locality metric —
+    past ops.config.GATHER_SPAN_MAX the forward uses the XLA gather engine
+    instead of the localized one-hot kernel (sparse graphs, ML-25M scale)."""
+    return _gather_forward(x, idx, n, span)
 
 
-def _fwd(x, idx, perm, idx_sorted, n):
-    return _gather_forward(x, idx, n), (idx, perm, idx_sorted, jnp.zeros((0,), x.dtype))
+def _fwd(x, idx, perm, idx_sorted, n, span):
+    return _gather_forward(x, idx, n, span), (idx, perm, idx_sorted, jnp.zeros((0,), x.dtype))
 
 
-def _bwd(n, res, ct):
+def _bwd(n, span, res, ct):
     from . import config as _cfg
 
     idx, perm, idx_sorted, dtype_probe = res
@@ -91,7 +95,10 @@ gather_rows.defvjp(_fwd, _bwd)
 
 def gather_src(x, g):
     """Gather per-edge source rows with the kernel-dispatched paths."""
-    return gather_rows(x, g.src, g.src_perm, g.src_sorted, x.shape[0])
+    return gather_rows(
+        x, g.src, g.src_perm, g.src_sorted, x.shape[0],
+        getattr(g, "src_span", 0.0),
+    )
 
 
 def gather_dst(x, g):
