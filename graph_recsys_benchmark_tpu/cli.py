@@ -29,6 +29,9 @@ def build_parser():
                    choices=["synthetic-ml", "synthetic-ml25m", "synthetic-yelp",
                             "ml-latest-small", "ml-25m", "yelp"])
     p.add_argument("--raw_dir", default=None, help="raw data directory for real datasets")
+    p.add_argument("--dataset_url", default=None,
+                   help="archive URL for --raw_dir auto-download (default: "
+                        "the reference's grouplens URL; file:// supported)")
     p.add_argument("--out_dir", default="runs")
     p.add_argument("--num_core", type=int, default=10)
     p.add_argument("--num_feat_core", type=int, default=10)
@@ -132,6 +135,18 @@ def load_hin(args):
     return hin, ML.mlsmall_metapath_edges(hin)
 
 
+def _maybe_download(args, required_files):
+    """Reference `_download` semantics (datasets/dataset.py:117-123 +
+    movielens.py:627-629): when the raw files are missing, fetch the
+    dataset archive (default grouplens URL, overridable with
+    --dataset_url; file:// works in zero-egress environments) and extract
+    it so parse_ml_dir finds reference-identical raw files."""
+    from .data.download import DATASET_URLS, ensure_raw_dataset
+
+    url = getattr(args, "dataset_url", None) or DATASET_URLS.get(args.dataset)
+    ensure_raw_dataset(args.raw_dir, required_files, url)
+
+
 def _build_hin(args):
     from .data import movielens as ML
     from .data import yelp as Y
@@ -157,6 +172,7 @@ def _build_hin(args):
     if args.dataset == "ml-latest-small":
         from .data.ml_raw import parse_ml_dir
 
+        _maybe_download(args, ["movies.csv", "ratings.csv", "tags.csv"])
         movies, ratings, tagging = parse_ml_dir(args.raw_dir)
         return ML.build_mlsmall_hin(
             movies, ratings, tagging, nc, nfc, name="ml-latest-small", **_cm("dense")
@@ -164,6 +180,10 @@ def _build_hin(args):
     if args.dataset == "ml-25m":
         from .data.ml_raw import parse_ml25m_extras, parse_ml_dir
 
+        _maybe_download(
+            args,
+            ["movies.csv", "ratings.csv", "tags.csv", "genome-scores.csv"],
+        )
         movies, ratings, tagging = parse_ml_dir(args.raw_dir)
         gs, gt = parse_ml25m_extras(args.raw_dir)
         return ML.build_ml25m_hin(

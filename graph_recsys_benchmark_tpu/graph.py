@@ -78,11 +78,18 @@ class StepGraph:
     # on v5e at ML-25M scale: span~32 -> kernel 55 ms vs XLA 7.2 ms for a
     # [2.2M, 66] bf16 gather; span~1.5-2 at bench scale -> kernel wins 8x).
     src_span: float = 0.0
+    # True = PyG GAT self-loops are IMPLICIT (not materialized as edges):
+    # loop edges interleave every node band into every dst block and wreck
+    # src locality at sparse scale, so large GAT graphs carry loop-free
+    # lists and consumers add the analytic per-row loop term
+    # (ops/stream_gat.py).  Only nn/conv.gat_apply understands this flag;
+    # the fused/union builders reject such graphs.
+    gat_loops: bool = False
 
     def tree_flatten(self):
         return (
             (self.src, self.dst, self.w, self.rel, self.src_perm, self.src_sorted),
-            (self.num_nodes, self.num_edges, self.src_span),
+            (self.num_nodes, self.num_edges, self.src_span, self.gat_loops),
         )
 
     @classmethod
@@ -93,7 +100,7 @@ class StepGraph:
 BLOCK = 128  # must match ops.pallas_segment._R / _BR
 
 
-def _sort_pad(src, dst, w, rel, num_nodes, pad_to=PAD_TO):
+def _sort_pad(src, dst, w, rel, num_nodes, pad_to=PAD_TO, gat_loops=False):
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
     from .native import sort_edges_block  # O(E+N) native counting sort
@@ -118,6 +125,7 @@ def _sort_pad(src, dst, w, rel, num_nodes, pad_to=PAD_TO):
         num_nodes=int(num_nodes),
         num_edges=int(e),
         src_span=_mean_src_span(src, dst, num_nodes),
+        gat_loops=bool(gat_loops),
     )
 
 
@@ -171,10 +179,34 @@ def build_gcn_graph(src, dst, num_nodes, pad_to=PAD_TO) -> StepGraph:
     return _sort_pad(src2, dst2, w, rel, num_nodes, pad_to)
 
 
-def build_gat_graph(src, dst, num_nodes, pad_to=PAD_TO) -> StepGraph:
+def build_gat_graph(src, dst, num_nodes, pad_to=PAD_TO,
+                    analytic_loops=False) -> StepGraph:
     """PyG 1.5 GATConv: remove self-loops, add one per node; w=1 (attention
-    replaces it at run time)."""
-    src2, dst2 = _with_self_loops(src, dst, num_nodes, remove_existing=True)
+    replaces it at run time).
+
+    analytic_loops: True keeps the list LOOP-FREE and flags the graph
+    `gat_loops` — consumers add the per-node self-loop softmax term
+    analytically (ops/stream_gat.py), which preserves src locality at
+    sparse scale (ML-25M: loop edges stretch the mean chunk span 18 -> 32).
+    None = auto: analytic past ops.stream_gat.STREAM_MIN_EDGES."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    if analytic_loops is None:
+        from .ops.stream_gat import STREAM_MIN_EDGES
+
+        analytic_loops = src.shape[0] >= STREAM_MIN_EDGES
+    if analytic_loops:
+        w = np.ones(src.shape[0], dtype=np.float32)
+        # align to the streaming kernels' largest edge chunk so their
+        # stream padding is a no-op (a misaligned pad copies the whole
+        # [E, 128] stream — 2.9 ms measured at ML-25M scale)
+        return _sort_pad(src, dst, w, np.zeros_like(src), num_nodes,
+                         max(pad_to, 2048), gat_loops=True)
+    loops = np.arange(num_nodes, dtype=np.int64)
+    src2 = np.concatenate([src, loops])
+    dst2 = np.concatenate([dst, loops])
     w = np.ones(src2.shape[0], dtype=np.float32)
     rel = np.zeros_like(src2)
     return _sort_pad(src2, dst2, w, rel, num_nodes, pad_to)
@@ -230,15 +262,48 @@ _BUILDERS = {
 
 
 def build_metapath_graphs(
-    metapath_steps, num_nodes, conv: str, pad_to=PAD_TO
+    metapath_steps, num_nodes, conv: str, pad_to=PAD_TO,
+    analytic_gat_loops=False,
 ) -> Tuple[Tuple[StepGraph, ...], ...]:
     """Compile a metapath list (list of lists of (src, dst) numpy edge pairs,
     mirroring utils/general_utils.py:update_pea_graph_input) into per-step
-    StepGraphs for the given conv type."""
+    StepGraphs for the given conv type.
+
+    analytic_gat_loops (GAT only): see build_gat_graph — None auto-selects
+    implicit self-loops for large sparse step graphs (the streaming path's
+    regime); must stay False for graphs that will be fused/unioned."""
     build = _BUILDERS[conv]
+    if conv == "gat":
+        import functools as _ft
+
+        build = _ft.partial(build_gat_graph,
+                            analytic_loops=analytic_gat_loops)
+
+    # Identical (src, dst) step lists return the SAME StepGraph object:
+    # the reference's metapath tables reuse one edge list across several
+    # channels (ML-25M: 7 of 13 second steps ride the interaction graph),
+    # so dedup shares device arrays AND lets models/pea.py batch those
+    # channels through one streaming kernel pass (object identity is the
+    # grouping key).
+    import hashlib
+
+    cache = {}
+
+    def cached_build(s, d):
+        sa = np.ascontiguousarray(np.asarray(s, dtype=np.int64))
+        da = np.ascontiguousarray(np.asarray(d, dtype=np.int64))
+        key = (
+            hashlib.md5(sa.tobytes()).digest(),
+            hashlib.md5(da.tobytes()).digest(),
+            sa.shape[0],
+        )
+        if key not in cache:
+            cache[key] = build(s, d, num_nodes, pad_to)
+        return cache[key]
+
     out = []
     for steps in metapath_steps:
-        out.append(tuple(build(s, d, num_nodes, pad_to) for (s, d) in steps))
+        out.append(tuple(cached_build(s, d) for (s, d) in steps))
     return tuple(out)
 
 
@@ -254,6 +319,12 @@ def fuse_step_graphs(step_graphs, num_nodes, pad_to=PAD_TO) -> StepGraph:
     """
     srcs, dsts, ws, rels = [], [], [], []
     for c, g in enumerate(step_graphs):
+        if g.gat_loops:
+            raise ValueError(
+                "cannot fuse gat_loops (implicit self-loop) graphs — build "
+                "per-channel graphs with analytic_gat_loops=False for the "
+                "fused path"
+            )
         e = g.num_edges
         srcs.append(np.asarray(g.src)[:e].astype(np.int64) + c * num_nodes)
         dsts.append(np.asarray(g.dst)[:e].astype(np.int64) + c * num_nodes)
@@ -284,6 +355,12 @@ def fuse_step_graphs_interleaved(step_graphs, emb_rows, pad_to=PAD_TO) -> StepGr
     C = len(step_graphs)
     srcs, dsts, ws, rels = [], [], [], []
     for c, g in enumerate(step_graphs):
+        if g.gat_loops:
+            raise ValueError(
+                "cannot fuse gat_loops (implicit self-loop) graphs — build "
+                "per-channel graphs with analytic_gat_loops=False for the "
+                "fused path"
+            )
         e = g.num_edges
         srcs.append(np.asarray(g.src)[:e].astype(np.int64) * C + c)
         dsts.append(np.asarray(g.dst)[:e].astype(np.int64) * C + c)

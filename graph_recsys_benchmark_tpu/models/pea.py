@@ -320,6 +320,78 @@ def pea_forward_fused(
     return jnp.transpose(h, (1, 0, 2))  # [N, C, R]
 
 
+def _grouped_gat_forward(params, graphs, cfg: PEAConfig, training,
+                         dropout_key):
+    """Per-channel GAT forward that BATCHES channels sharing one edge list
+    (graph.build_metapath_graphs dedupes identical step graphs, so object
+    identity is the grouping key) through one streaming kernel pass
+    (ops/stream_gat.stream_gat_attention_batched).  Falls back to
+    gat_apply per channel wherever batching doesn't apply — math and the
+    per-channel dropout RNG recipe are identical to _channel_forward."""
+    from ..ops import config as _ops_cfg
+    from ..ops.stream_gat import stream_gat_attention_batched, stream_gat_enabled
+
+    n = cfg.num_nodes
+    num_steps = cfg.meta_path_steps[0]
+    n_chan = cfg.num_channels
+    dims = _channel_layer_dims(cfg, num_steps)
+    dropout_active = training and cfg.dropout > 0.0 and dropout_key is not None
+    dkeys = None
+    if dropout_key is not None:
+        dkeys = [
+            jax.random.split(jax.random.fold_in(dropout_key, c), num_steps)
+            for c in range(n_chan)
+        ]
+
+    hs = [params["x"]] * n_chan
+    for k in range(num_steps):
+        _, dout, heads, _ = dims[k]
+        groups: dict = {}
+        for c in range(n_chan):
+            groups.setdefault(id(graphs[c][k]), []).append(c)
+        new_hs: list = [None] * n_chan
+        for chans in groups.values():
+            g = graphs[chans[0]][k]
+            batchable = (
+                len(chans) > 1
+                and heads == 1
+                and getattr(g, "gat_loops", False)
+                and not dropout_active
+                and stream_gat_enabled(g.dst.shape[0], False)
+            )
+            if batchable:
+                lp = [params["channels"][c][k] for c in chans]
+                W = jnp.stack([p["w"] for p in lp])  # [Cg, din, dout]
+                att = jnp.stack([p["att"][0, 0] for p in lp])  # [Cg, 2c]
+                b = jnp.stack([p["b"] for p in lp])  # [Cg, dout]
+                hstack = jnp.stack([hs[c][:n] for c in chans])  # [Cg, N, din]
+                z = jnp.einsum("cnd,cde->cne", hstack, W)
+                a_dst = jnp.einsum("cne,ce->cn", z, att[:, :dout])
+                a_src = jnp.einsum("cne,ce->cn", z, att[:, dout:])
+                outb = stream_gat_attention_batched(
+                    z, a_src, a_dst, g.src, g.dst, g.src_perm, g.src_sorted,
+                    n, True, 0.2, False, _ops_cfg.SEGSUM_TRANSPORT,
+                )
+                outb = outb + b[:, None, :]
+                for i, c in enumerate(chans):
+                    new_hs[c] = outb[i]
+            else:
+                for c in chans:
+                    dk = None
+                    if dropout_active:
+                        dk = dkeys[c][k]
+                    new_hs[c] = C.gat_apply(
+                        params["channels"][c][k], hs[c], g, heads=heads,
+                        concat=True,
+                        dropout=cfg.dropout if training else 0.0,
+                        dropout_key=dk,
+                    )
+        if k < num_steps - 1:
+            new_hs = [jax.nn.relu(h) for h in new_hs]
+        hs = new_hs
+    return jnp.stack(hs, axis=1)  # [N, C, R]
+
+
 def pea_forward(
     params,
     graphs,  # tuple[channel] of tuple[step] of StepGraph, OR fused tuple[step]
@@ -332,6 +404,8 @@ def pea_forward(
     fused = len(graphs) > 0 and isinstance(graphs[0], StepGraph)
     if fused:
         h = pea_forward_fused(params, graphs, cfg, training=training, dropout_key=dropout_key)
+    elif cfg.conv == "gat" and len(set(cfg.meta_path_steps)) == 1:
+        h = _grouped_gat_forward(params, graphs, cfg, training, dropout_key)
     else:
         x = params["x"]
         outs = []

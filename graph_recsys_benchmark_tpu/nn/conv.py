@@ -93,6 +93,52 @@ def gat_apply(
     att_dst, att_src = att[:, :c], att[:, c:]  # x_i (target) first, then x_j
     alpha_dst = jnp.sum(h * att_dst[None], axis=-1)  # [N, H]
     alpha_src = jnp.sum(h * att_src[None], axis=-1)
+
+    if getattr(g, "gat_loops", False):
+        # Implicit-self-loop graph (sparse large-scale regime): streaming
+        # kernel pipeline per head (ops/stream_gat.py), XLA reference off
+        # TPU / under attention dropout.  Math = PyG GATConv with the loop
+        # term added analytically (tested vs the loop-edge oracle).
+        from ..ops import config as _cfg
+        from ..ops.stream_gat import (
+            stream_gat_attention,
+            stream_gat_enabled,
+            stream_gat_reference,
+        )
+
+        dropout_active = dropout > 0.0 and dropout_key is not None
+        use_stream = stream_gat_enabled(
+            g.dst.shape[0], dropout_active, use_pallas
+        )
+        head_outs = []
+        for hh in range(heads):
+            z_h = h[:n, hh]
+            asrc = alpha_src[:n, hh]
+            adst = alpha_dst[:n, hh]
+            if use_stream:
+                o = stream_gat_attention(
+                    z_h, asrc, adst, g.src, g.dst, g.src_perm, g.src_sorted,
+                    n, True, negative_slope, False, _cfg.SEGSUM_TRANSPORT,
+                )
+            else:
+                ek = lk = None
+                if dropout_active:
+                    k1, k2 = jax.random.split(
+                        jax.random.fold_in(dropout_key, hh)
+                    )
+                    ek = jax.random.bernoulli(k1, 1.0 - dropout, g.dst.shape)
+                    lk = jax.random.bernoulli(k2, 1.0 - dropout, (n,))
+                o = stream_gat_reference(
+                    z_h, asrc, adst, g.src, g.dst, n, True, negative_slope,
+                    edge_keep=ek, loop_keep=lk,
+                    dropout=dropout if dropout_active else 0.0,
+                )
+            head_outs.append(o)
+        if concat:
+            out = jnp.concatenate(head_outs, axis=-1)
+        else:
+            out = sum(head_outs) / heads
+        return out + params["b"]
     # src-side logits ride the wide row gather as extra columns (1-D gathers
     # lower to a serial scalar loop on TPU — see models/pea._fused_gat_step)
     packed = msg_cast(

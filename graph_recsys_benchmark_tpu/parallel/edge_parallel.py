@@ -64,6 +64,7 @@ def shard_step_graph(g: StepGraph, n_shards: int) -> StepGraph:
         num_nodes=g.num_nodes,
         num_edges=g.num_edges,
         src_span=g.src_span,
+        gat_loops=g.gat_loops,
     )
 
 
@@ -74,7 +75,7 @@ def _local_view(g: StepGraph) -> StepGraph:
         src=sq(g.src), dst=sq(g.dst), w=sq(g.w), rel=sq(g.rel),
         src_perm=sq(g.src_perm), src_sorted=sq(g.src_sorted),
         num_nodes=g.num_nodes, num_edges=g.num_edges,
-        src_span=g.src_span,
+        src_span=g.src_span, gat_loops=g.gat_loops,
     )
 
 

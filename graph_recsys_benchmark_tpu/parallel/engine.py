@@ -66,6 +66,10 @@ class ShardedPEATrainer(PEATrainer):
     checkpoint layer restores onto those shardings, utils/checkpoint.py).
     """
 
+    # Sharded programs run the edge-materialized GAT paths (their softmax /
+    # psum overrides don't know the analytic self-loop term).
+    _analytic_gat_loops = False
+
     def __init__(
         self,
         hin: HINData,

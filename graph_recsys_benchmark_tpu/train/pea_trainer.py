@@ -36,6 +36,11 @@ class TrainConfig:
 
 
 class PEATrainer(GraphEpochEngine):
+    # Per-channel GAT graphs: None = auto implicit self-loops past the
+    # streaming threshold (ops/stream_gat.py).  ShardedPEATrainer forces
+    # False — its shard_map/GSPMD programs use the edge-materialized paths.
+    _analytic_gat_loops = None
+
     def __init__(self, hin: HINData, cfg: PEAConfig, tcfg: TrainConfig, metapath_edges=None):
         self.cfg = cfg
         if metapath_edges is None:
@@ -45,7 +50,10 @@ class PEATrainer(GraphEpochEngine):
         if cfg.fused and uniform:
             self.graphs = build_fused_metapath_graphs(metapath_edges, hin.num_nodes, cfg.conv)
         else:
-            self.graphs = build_metapath_graphs(metapath_edges, hin.num_nodes, cfg.conv)
+            self.graphs = build_metapath_graphs(
+                metapath_edges, hin.num_nodes, cfg.conv,
+                analytic_gat_loops=self._analytic_gat_loops,
+            )
 
         def init_params(key):
             return pea_mod.pea_init(key, cfg)

@@ -75,6 +75,24 @@ def gate_report(trainer, hin):
         flat.append(g)
     rows = [int(g.num_nodes) for g in flat]
     edges = [int(g.src.shape[0]) for g in flat]
+    from graph_recsys_benchmark_tpu.ops.stream_gat import stream_gat_enabled
+
+    # streaming-path census: how many step graphs carry implicit self-loops
+    # (analytic), and the channel-batch group sizes per step position
+    # (graph dedup makes identical edge lists the same object)
+    n_loops = sum(1 for g in flat if getattr(g, "gat_loops", False))
+    group_sizes = []
+    if not isinstance(graphs[0], tuple):
+        per_channel = [(g,) for g in graphs]
+    else:
+        per_channel = graphs
+    for k_step in range(max(len(ch) for ch in per_channel)):
+        groups = {}
+        for ch in per_channel:
+            if k_step < len(ch):
+                groups.setdefault(id(ch[k_step]), []).append(1)
+        group_sizes.append(sorted((len(v) for v in groups.values()),
+                                  reverse=True))
     return {
         "num_nodes": int(hin.num_nodes),
         "step_graph_rows_max": max(rows),
@@ -83,9 +101,14 @@ def gate_report(trainer, hin):
         "scatter_row_tiles": int(scatter_num_tiles(max(rows), k)),
         "flash_gat": bool(
             flash_gat_enabled(trainer.cfg.num_heads, trainer.cfg.dropout > 0,
-                              max(edges))
+                              max(edges),
+                              src_span=max(g.src_span for g in flat))
         ),
-        "fallback_when_gated_off": "permuted sorted segment-sum (E->E gather)",
+        "stream_gat": bool(stream_gat_enabled(max(edges), False)) and n_loops > 0,
+        "analytic_loop_graphs": n_loops,
+        "src_span_max": round(max(g.src_span for g in flat), 1),
+        "channel_batch_groups": group_sizes,
+        "fallback_when_gated_off": "XLA gather + sorted segment-sum",
     }
 
 
@@ -129,14 +152,17 @@ def bench_steps(trainer, n_steps=8, reps=3):
 
 
 SWEEP = {
-    # gate config -> (FLASH_GAT override, MAX_SCATTER_TILES)
-    # The default dispatch (MAX_SCATTER_TILES=2) routes this 6-tile scale to
-    # the sorted fallback; 'tiled_scatter_forced' keeps the measured evidence
-    # for that decision in the artifact (v5e: 4378 vs 5713 ex/s).
-    "default": (None, None),
-    "tiled_scatter_forced": (None, 16),
-    "no_flash": (False, None),
-    "fallback_both": (False, 1),
+    # gate config -> (FLASH_GAT override, MAX_SCATTER_TILES, stream path)
+    # 'default' = round-4 dispatch: analytic-self-loop graphs + the
+    # streaming GAT kernel pipeline (ops/stream_gat.py) with channel
+    # batching over deduped edge lists.  'no_stream' measures the same
+    # code with loop-edge graphs (composed path + the span-aware gather
+    # dispatch); 'fallback_both' additionally forces the round-3 fallback
+    # gates — the round-3 best config, kept as the measured baseline.
+    "default": (None, None, True),
+    "no_stream": (None, None, False),
+    "tiled_scatter_forced": (None, 16, False),
+    "fallback_both": (False, 1, False),
 }
 
 
@@ -154,11 +180,14 @@ def main():
     build_s = graph_s = 0.0
     hin = None
     default_tiles = ops_config.MAX_SCATTER_TILES
-    for name, (flash, tiles) in SWEEP.items():
+    from graph_recsys_benchmark_tpu.train.pea_trainer import PEATrainer
+
+    for name, (flash, tiles, stream) in SWEEP.items():
         if only and name not in only.split(","):
             continue
         ops_config.FLASH_GAT = flash
         ops_config.MAX_SCATTER_TILES = default_tiles if tiles is None else tiles
+        PEATrainer._analytic_gat_loops = None if stream else False
         trainer, hin, build_s, graph_s = build(
             num_users=40_000, num_items=16_000, target_interactions=2_000_000,
             fused=False,
@@ -174,6 +203,7 @@ def main():
         print(name, json.dumps(runs[name]))
     ops_config.FLASH_GAT = None
     ops_config.MAX_SCATTER_TILES = default_tiles
+    PEATrainer._analytic_gat_loops = None
 
     best = max(runs, key=lambda n: runs[n]["examples_per_s"])
     out = {

@@ -1,0 +1,99 @@
+"""Compile-and-step the ML-25M-scale graph under --parallel a2a and edge
+on the virtual 8-device mesh (round-3 verdict item 7).
+
+The sharded paths are parity-tested at toy scale in pytest; this tool
+proves the static exchange plans, capacity bounds and the sharded softmax
+survive the REAL 25M shapes (2.1M interactions, 13 channels, 69k nodes):
+it builds the full synthetic ML-25M HIN, constructs ShardedPEATrainer in
+both modes on an 8-device CPU mesh, runs ONE training step each, and
+writes MULTICHIP_25m.json with ok flags + wall-clock.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp
+
+
+def main():
+    from graph_recsys_benchmark_tpu.data.movielens import ml25m_metapath_edges
+    from graph_recsys_benchmark_tpu.data.synthetic import synthetic_ml25m_hin
+    from graph_recsys_benchmark_tpu.models.pea import PEAConfig
+    from graph_recsys_benchmark_tpu.parallel import ShardedPEATrainer
+    from graph_recsys_benchmark_tpu.parallel.multihost import make_pod_mesh
+    from graph_recsys_benchmark_tpu.train import TrainConfig
+
+    t0 = time.time()
+    hin = synthetic_ml25m_hin(
+        num_users=40_000, num_items=16_000, target_interactions=2_000_000
+    )
+    edges = ml25m_metapath_edges(hin)
+    build_s = time.time() - t0
+    cfg = PEAConfig(
+        conv="gat", num_nodes=hin.num_nodes, meta_path_steps=(2,) * 13,
+        emb_dim=64, hidden_size=64, repr_dim=16, entity_aware=True,
+    )
+    tcfg = TrainConfig(batch_size=4096, sampling_strategy="random")
+    mesh = make_pod_mesh(mp=1)
+
+    out = {
+        "metric": "ml25m_sharded_dryrun",
+        "mesh": "8 virtual CPU devices, dp=8",
+        "train_interactions": int(hin.train_pos.shape[0]),
+        "num_nodes": int(hin.num_nodes),
+        "channels": 13,
+        "hin_build_s": round(build_s, 1),
+        "modes": {},
+    }
+    for mode in ("a2a", "edge"):
+        t0 = time.time()
+        trainer = ShardedPEATrainer(
+            hin, cfg, tcfg, metapath_edges=edges, mesh=mesh, mode=mode,
+        )
+        setup_s = time.time() - t0
+        params, opt_state = trainer.init(seed=2019)
+        rows = jnp.arange(tcfg.batch_size, dtype=jnp.int32)
+        batch = trainer._build_batch_host(rows, jax.random.PRNGKey(0)) \
+            if hasattr(trainer, "_build_batch_host") else None
+        t0 = time.time()
+        if batch is None:
+            # drive one step exactly as run_epoch does: jitted batch build
+            # + the mode's sharded step
+            kb, kl = jax.random.split(jax.random.PRNGKey(1))
+            batch = jax.jit(trainer._build_batch)(rows, kb)
+            mask = jnp.ones((tcfg.batch_size,), jnp.float32)
+            params, opt_state, loss = trainer._step(
+                params, opt_state, batch, mask, kl
+            )
+        jax.block_until_ready(loss)
+        step_s = time.time() - t0
+        ok = bool(jnp.isfinite(loss))
+        out["modes"][mode] = {
+            "ok": ok,
+            "setup_s": round(setup_s, 1),
+            "compile_plus_first_step_s": round(step_s, 1),
+            "loss": round(float(loss), 4),
+        }
+        print(mode, json.dumps(out["modes"][mode]))
+        del trainer, params, opt_state
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "MULTICHIP_25m.json",
+    )
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
