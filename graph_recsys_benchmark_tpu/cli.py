@@ -144,7 +144,22 @@ def _maybe_download(args, required_files):
     from .data.download import DATASET_URLS, ensure_raw_dataset
 
     url = getattr(args, "dataset_url", None) or DATASET_URLS.get(args.dataset)
-    ensure_raw_dataset(args.raw_dir, required_files, url)
+    ok = ensure_raw_dataset(args.raw_dir, required_files, url)
+    if not ok:
+        missing = [
+            f for f in required_files
+            if not os.path.exists(os.path.join(args.raw_dir, f))
+        ]
+        hint = (
+            f" after extracting {url}" if url else
+            " and no --dataset_url was given for this dataset"
+        )
+        raise FileNotFoundError(
+            f"raw dataset files missing under {args.raw_dir!r}{hint}: "
+            f"{missing}. Point --raw_dir at the directory that directly "
+            "contains these files (conventionally named after the dataset, "
+            f"e.g. .../{args.dataset})."
+        )
 
 
 def _build_hin(args):

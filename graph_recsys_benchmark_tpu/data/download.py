@@ -25,8 +25,8 @@ import zipfile
 # a manual Kaggle download in the reference too (datasets/yelp.py has no
 # url), so only MovieLens is auto-fetchable.
 DATASET_URLS = {
-    "ml-latest-small": "http://files.grouplens.org/datasets/movielens/ml-latest-small.zip",
-    "ml-25m": "http://files.grouplens.org/datasets/movielens/ml-25m.zip",
+    "ml-latest-small": "https://files.grouplens.org/datasets/movielens/ml-latest-small.zip",
+    "ml-25m": "https://files.grouplens.org/datasets/movielens/ml-25m.zip",
 }
 
 
@@ -57,7 +57,19 @@ def extract_zip(path: str, folder: str) -> None:
 
 def extract_tar(path: str, folder: str, mode: str = "r:gz") -> None:
     with tarfile.open(path, mode) as tf:
-        tf.extractall(folder)
+        try:
+            # refuse path-traversal / link-escape members from a
+            # user-supplied --dataset_url archive (round-4 ADVICE #3)
+            tf.extractall(folder, filter="data")
+        except TypeError:  # Python < 3.12 fallback: validate members
+            base = osp.realpath(folder)
+            for m in tf.getmembers():
+                dest = osp.realpath(osp.join(folder, m.name))
+                if not (dest == base or dest.startswith(base + os.sep)):
+                    raise RuntimeError(
+                        f"archive member escapes target dir: {m.name!r}"
+                    )
+            tf.extractall(folder)
 
 
 def ensure_raw_dataset(raw_dir: str, required_files, url: str | None) -> bool:
@@ -79,10 +91,25 @@ def ensure_raw_dataset(raw_dir: str, required_files, url: str | None) -> bool:
         with zipfile.ZipFile(path, "r") as zf:
             names = zf.namelist()
         base = osp.basename(raw_dir.rstrip("/"))
+        tops = {n.split("/")[0] for n in names if n}
         # grouplens archives wrap files in '<dataset>/': extracting into
         # the parent reproduces raw_dir/<files>
-        if names and all(n.split("/")[0] == base for n in names if n):
+        if names and tops == {base}:
             extract_zip(path, osp.dirname(raw_dir.rstrip("/")) or ".")
+        elif len(tops) == 1 and all("/" in n for n in names if n):
+            # single wrapper folder whose name does NOT match raw_dir
+            # (e.g. --raw_dir data/movielens holding ml-25m/...): extract
+            # to a scratch dir and move the wrapper's contents into
+            # raw_dir so required_files resolve (round-4 ADVICE #4)
+            scratch = osp.join(raw_dir, ".extract_tmp")
+            os.makedirs(scratch, exist_ok=True)
+            extract_zip(path, scratch)
+            inner = osp.join(scratch, next(iter(tops)))
+            for name in os.listdir(inner):
+                dst = osp.join(raw_dir, name)
+                if not osp.exists(dst):
+                    shutil.move(osp.join(inner, name), dst)
+            shutil.rmtree(scratch, ignore_errors=True)
         else:
             extract_zip(path, raw_dir)
     elif path.endswith((".tar.gz", ".tgz")):

@@ -350,14 +350,23 @@ def _grouped_gat_forward(params, graphs, cfg: PEAConfig, training,
         for c in range(n_chan):
             groups.setdefault(id(graphs[c][k]), []).append(c)
         new_hs: list = [None] * n_chan
+        # the streaming kernels batch at most 8 channels per pass
+        # (stream_gat._layout): split larger shares into <=8-chunks
+        # instead of crashing on the assert (round-4 ADVICE #2)
+        split_groups = []
         for chans in groups.values():
+            for i in range(0, len(chans), 8):
+                split_groups.append(chans[i : i + 8])
+        for chans in split_groups:
             g = graphs[chans[0]][k]
             batchable = (
                 len(chans) > 1
                 and heads == 1
                 and getattr(g, "gat_loops", False)
                 and not dropout_active
-                and stream_gat_enabled(g.dst.shape[0], False)
+                and stream_gat_enabled(
+                    g.dst.shape[0], False, kz=dout, n_ch=len(chans)
+                )
             )
             if batchable:
                 lp = [params["channels"][c][k] for c in chans]

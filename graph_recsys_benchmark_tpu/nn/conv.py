@@ -108,7 +108,7 @@ def gat_apply(
 
         dropout_active = dropout > 0.0 and dropout_key is not None
         use_stream = stream_gat_enabled(
-            g.dst.shape[0], dropout_active, use_pallas
+            g.dst.shape[0], dropout_active, use_pallas, kz=c
         )
         head_outs = []
         for hh in range(heads):

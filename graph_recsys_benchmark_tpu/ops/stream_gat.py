@@ -91,7 +91,10 @@ def _chunk_for(n_ch, itemsize, bwd=False):
     per_edge = 2 * n_ch * _KB * itemsize  # two buffered slots
     c = budget // per_edge
     c = 1 << (int(c).bit_length() - 1)  # floor to a power of two
-    return int(max(512, min(2048, c)))
+    # No floor above the budget-derived chunk: clamping UP would let the
+    # double-buffered stream exceed the VMEM budget just derived (n_ch=8
+    # f32 backward gives 256 — round-4 ADVICE #5).
+    return int(max(256, min(2048, c)))
 
 
 def _layout(num_rows, kz, n_ch):
@@ -718,31 +721,44 @@ def stream_gat_reference(z, a_src, a_dst, src, dst, num_rows,
         m = jnp.maximum(m, act_l)
     m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
     p = jnp.where(real, jnp.exp(act - m_safe[safe_dst]), 0.0)
-    if dropout > 0.0 and edge_keep is not None:
-        p = jnp.where(edge_keep, p / (1.0 - dropout), 0.0)
     if self_loops:
         p_l = jnp.exp(act_l - m_safe)
-        if dropout > 0.0 and loop_keep is not None:
-            p_l = jnp.where(loop_keep, p_l / (1.0 - dropout), 0.0)
+    # softmax FIRST (denominator over the un-dropped p, incl. the loop
+    # term), THEN drop normalized alphas without renormalizing — PyG 1.5
+    # GATConv order (softmax -> F.dropout on alpha), matching the
+    # loop-edge gat_apply path (round-4 ADVICE #1)
     s = jax.ops.segment_sum(p, safe_dst, num_segments=num_rows)
     if self_loops:
         s = s + p_l
     att = p / (s + 1e-16)[safe_dst]
+    if dropout > 0.0 and edge_keep is not None:
+        att = jnp.where(edge_keep, att / (1.0 - dropout), 0.0)
     msgs = att[:, None] * jnp.where(real[:, None], z[safe_src], 0.0)
     out = jax.ops.segment_sum(msgs, safe_dst, num_segments=num_rows)
     if self_loops:
-        out = out + (p_l / (s + 1e-16))[:, None] * z
+        att_l = p_l / (s + 1e-16)
+        if dropout > 0.0 and loop_keep is not None:
+            att_l = jnp.where(loop_keep, att_l / (1.0 - dropout), 0.0)
+        out = out + att_l[:, None] * z
     return out
 
 
-def stream_gat_enabled(num_edges, dropout_active, use_pallas=None):
+def stream_gat_enabled(num_edges, dropout_active, use_pallas=None, kz=None,
+                       n_ch=1):
     """Dispatch predicate for the streaming path: TPU backend, large edge
     list, no attention dropout (dropout routes to the XLA reference —
     correct at any scale; no published large-scale recipe trains GAT with
-    attention dropout)."""
+    attention dropout).  kz/n_ch, when given, enforce the kernels' hard
+    layout limits (kz <= 125 feature columns per 128-col band, <= 8
+    channels per batch — _layout asserts; round-4 ADVICE #2) so
+    out-of-range configs fall back instead of crashing."""
     from . import config as _cfg
 
     eligible = not dropout_active
+    if kz is not None and kz > 125:
+        return False
+    if n_ch > 8:
+        return False
     return (
         _cfg.resolve(use_pallas, _on_tpu() and num_edges >= STREAM_MIN_EDGES)
         and eligible

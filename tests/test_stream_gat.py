@@ -155,6 +155,52 @@ def test_dropout_reference_zero_dropout_equals_plain():
     assert out0.shape == outd.shape
 
 
+def test_dropout_reference_softmax_then_drop_parity():
+    """stream_gat_reference with a FIXED keep mask must equal the PyG
+    order — softmax over the full (loop-materialized) in-edge set FIRST,
+    then drop normalized alphas WITHOUT renormalizing — computed here by
+    an independent loop-edge segment-op oracle (round-4 ADVICE #1)."""
+    n, e, kz, p_drop = 120, 900, 8, 0.4
+    src, dst = _random_graph(31, n, e)
+    g = build_gat_graph(src, dst, n, analytic_loops=True)
+    z, a_src, a_dst = _inputs(7, n, kz)
+    er = g.num_edges
+    rng = np.random.default_rng(9)
+    edge_keep_real = rng.random(er) < (1.0 - p_drop)
+    loop_keep = jnp.asarray(rng.random(n) < (1.0 - p_drop))
+    # pad edges carry keep=True (their p is 0 anyway)
+    edge_keep = jnp.asarray(
+        np.concatenate([edge_keep_real, np.ones(g.dst.shape[0] - er, bool)])
+    )
+
+    out = stream_gat_reference(
+        z, a_src, a_dst, g.src, g.dst, n, self_loops=True,
+        edge_keep=edge_keep, loop_keep=loop_keep, dropout=p_drop,
+    )
+
+    # independent oracle: materialize the loops as edges, one combined
+    # softmax, then drop each normalized alpha
+    srcs = np.asarray(g.src)[:er]
+    dsts = np.asarray(g.dst)[:er]
+    all_src = jnp.asarray(np.concatenate([srcs, np.arange(n)]))
+    all_dst = jnp.asarray(np.concatenate([dsts, np.arange(n)]))
+    keep_all = jnp.concatenate(
+        [edge_keep[:er], loop_keep.astype(bool)]
+    )
+    pre = a_dst[all_dst] + a_src[all_src]
+    act = jnp.where(pre > 0, pre, 0.2 * pre)
+    m = jax.ops.segment_max(act, all_dst, num_segments=n)
+    pexp = jnp.exp(act - jnp.where(jnp.isfinite(m), m, 0.0)[all_dst])
+    s = jax.ops.segment_sum(pexp, all_dst, num_segments=n)
+    att = pexp / (s + 1e-16)[all_dst]
+    att = jnp.where(keep_all, att / (1.0 - p_drop), 0.0)
+    expected = jax.ops.segment_sum(
+        att[:, None] * z[all_src], all_dst, num_segments=n
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_fuse_rejects_gat_loops_graphs():
     from graph_recsys_benchmark_tpu.graph import fuse_step_graphs
 
