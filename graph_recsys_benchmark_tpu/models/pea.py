@@ -401,6 +401,147 @@ def _grouped_gat_forward(params, graphs, cfg: PEAConfig, training,
     return jnp.stack(hs, axis=1)  # [N, C, R]
 
 
+@dataclasses.dataclass(frozen=True)
+class HybridGATPlan:
+    """Build-time channel grouping for the small-N GAT forward.
+
+    Per step: channels sharing one StepGraph (the reference metapath
+    table reuses edge lists across channels, utils/general_utils.py:
+    300-392) are batched through ops/batch_gat.py's shared-edge kernels;
+    the remaining channels run as ONE union graph (graph.fuse_step_graphs
+    + the flash/union kernels).  `per_channel` keeps the ungrouped graphs
+    for the dropout fallback path.
+    """
+
+    # per step: (batched: tuple[(StepGraph, chans)], union: StepGraph|None,
+    #            union_chans: tuple[int, ...])
+    steps: tuple
+    per_channel: tuple  # tuple[channel] of tuple[step] of StepGraph
+    num_channels: int
+
+    @property
+    def has_batched(self):
+        return any(len(s[0]) > 0 for s in self.steps)
+
+
+def build_hybrid_gat_plan(per_channel_graphs, num_nodes, cfg: PEAConfig):
+    """Group channels by StepGraph identity (graph.build_metapath_graphs
+    dedupes identical step edge lists) into batched shares of 2..8
+    channels; everything else — singleton graphs, multi-head steps,
+    VMEM-overflow groups — goes into one union graph per step."""
+    from ..graph import fuse_step_graphs
+    from ..ops import batch_gat as _bg
+    from ..ops import config as _ops_cfg
+
+    num_steps = cfg.meta_path_steps[0]
+    dims = _channel_layer_dims(cfg, num_steps)
+    itemsize = 2 if _ops_cfg.SEGSUM_TRANSPORT == "bf16" else 4
+    steps = []
+    for k in range(num_steps):
+        _, dout, heads, _ = dims[k]
+        groups_d: dict = {}
+        for c, ch_graphs in enumerate(per_channel_graphs):
+            groups_d.setdefault(id(ch_graphs[k]), []).append(c)
+        batched, rest = [], []
+        # prefer group sizes whose packed table stays within ONE 128-lane
+        # tile (n_ch*(kz+1) <= 128) — the [k_pad, chunk] kernel ops pay
+        # physical lanes in 128-tiles (measured ~1.5x per edge at 2 tiles)
+        max_per = min(8, max(2, 128 // (dout + 1)))
+        for chans in groups_d.values():
+            g = per_channel_graphs[chans[0]][k]
+            for i in range(0, len(chans), max_per):
+                sub = chans[i : i + max_per]
+                ok = (
+                    len(sub) >= 2
+                    and heads == 1
+                    and not getattr(g, "gat_loops", False)
+                    and _bg._vmem_bytes(num_nodes, dout, len(sub), itemsize)
+                    <= _bg._VMEM_BUDGET
+                )
+                if ok:
+                    batched.append((g, tuple(sub)))
+                else:
+                    rest.extend(sub)
+        rest = sorted(rest)
+        union = None
+        if rest:
+            union = fuse_step_graphs(
+                [per_channel_graphs[c][k] for c in rest], num_nodes
+            )
+        steps.append((tuple(batched), union, tuple(rest)))
+    return HybridGATPlan(
+        steps=tuple(steps),
+        per_channel=tuple(per_channel_graphs),
+        num_channels=len(per_channel_graphs),
+    )
+
+
+def _stacked_subset_params(params, step_idx, chans):
+    per_channel = [params["channels"][c][step_idx] for c in chans]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_channel)
+
+
+def pea_forward_hybrid(params, plan: HybridGATPlan, cfg: PEAConfig,
+                       training=False, dropout_key=None):
+    """Hybrid forward: batched shared-edge kernels for grouped channels,
+    union flash kernels for the rest.  Math per channel is identical to
+    the per-channel/fused paths (tested); attention dropout falls back to
+    the per-channel path in pea_forward before reaching here."""
+    from ..ops import config as _ops_cfg
+    from ..ops.batch_gat import (
+        batch_gat_attention,
+        batch_gat_enabled,
+        batch_gat_reference,
+    )
+
+    n = cfg.num_nodes
+    num_steps = cfg.meta_path_steps[0]
+    dims = _channel_layer_dims(cfg, num_steps)
+    n_chan = plan.num_channels
+    hs = [None] * n_chan  # step 0 reads the shared embedding table
+    for k in range(num_steps):
+        _, dout, heads, _ = dims[k]
+        batched, union, rest = plan.steps[k]
+        new_hs: list = [None] * n_chan
+        for g, chans in batched:
+            lp = [params["channels"][c][k] for c in chans]
+            W = jnp.stack([p["w"] for p in lp])  # [Cg, din, dout] (1 head)
+            att = jnp.stack([p["att"][0, 0] for p in lp])  # [Cg, 2c]
+            b = jnp.stack([p["b"] for p in lp])  # [Cg, dout]
+            if k == 0:
+                z = jnp.einsum("nd,cde->cne", params["x"][:n], W)
+            else:
+                hstack = jnp.stack([hs[c] for c in chans])  # [Cg, N, din]
+                z = jnp.einsum("cnd,cde->cne", hstack, W)
+            a_dst = jnp.einsum("cne,ce->cn", z, att[:, :dout])
+            a_src = jnp.einsum("cne,ce->cn", z, att[:, dout:])
+            if batch_gat_enabled(n, dout, len(chans), False):
+                outb = batch_gat_attention(
+                    z, a_src, a_dst, g.src, g.dst, n, 0.2, False,
+                    _ops_cfg.SEGSUM_TRANSPORT,
+                )
+            else:  # off-TPU / forced-off: identical-semantics XLA oracle
+                outb = batch_gat_reference(z, a_src, a_dst, g.src, g.dst, n)
+            outb = outb + b[:, None, :]
+            for i, c in enumerate(chans):
+                new_hs[c] = outb[i]
+        if union is not None:
+            sp = _stacked_subset_params(params, k, rest)
+            if k == 0:
+                h_in = params["x"]
+            else:
+                h_in = jnp.stack([hs[c] for c in rest])
+            out_u = _fused_gat_step(
+                sp, h_in, union, len(rest), n, heads, True, 0.0, None
+            )
+            for i, c in enumerate(rest):
+                new_hs[c] = out_u[i]
+        if k < num_steps - 1:
+            new_hs = [jax.nn.relu(h) for h in new_hs]
+        hs = new_hs
+    return jnp.stack(hs, axis=1)  # [N, C, R]
+
+
 def pea_forward(
     params,
     graphs,  # tuple[channel] of tuple[step] of StepGraph, OR fused tuple[step]
@@ -410,8 +551,20 @@ def pea_forward(
     dropout_key=None,
 ):
     """Full-graph forward -> cached representation [num_nodes, repr-like]."""
-    fused = len(graphs) > 0 and isinstance(graphs[0], StepGraph)
-    if fused:
+    hybrid = isinstance(graphs, HybridGATPlan)
+    if hybrid and training and cfg.dropout > 0.0 and dropout_key is not None:
+        # dropout needs per-edge RNG over per-channel edge lists —
+        # identical recipe to the ungrouped path
+        graphs, hybrid = graphs.per_channel, False
+    fused = (
+        not hybrid
+        and len(graphs) > 0
+        and isinstance(graphs[0], StepGraph)
+    )
+    if hybrid:
+        h = pea_forward_hybrid(params, graphs, cfg, training=training,
+                               dropout_key=dropout_key)
+    elif fused:
         h = pea_forward_fused(params, graphs, cfg, training=training, dropout_key=dropout_key)
     elif cfg.conv == "gat" and len(set(cfg.meta_path_steps)) == 1:
         h = _grouped_gat_forward(params, graphs, cfg, training, dropout_key)

@@ -107,6 +107,11 @@ FLASH_FWD_GRID = "chunk"
 # segment/gather kernels (tools/bench_25m.py gate sweep).
 FLASH_GAT = None
 
+# Batched flash-GAT dispatch override for channel groups sharing one edge
+# list at small N (ops/batch_gat.py; None = heuristic — TPU + VMEM fit,
+# False = always the per-channel/union paths, True = force where legal).
+BATCH_GAT = None
+
 # Locality gate for the one-hot src-side kernels (localized gather and the
 # flash-GAT megakernels): their work scales with the mean src-window span
 # per edge chunk (StepGraph.src_span, measured at graph build).  Past this

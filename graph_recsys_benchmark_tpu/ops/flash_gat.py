@@ -526,6 +526,9 @@ def _make_flash_fwd_chunk_kernel(chunk, k_pad, kz, t_dtype, negative_slope):
             jax.lax.broadcasted_iota(jnp.int32, (k_pad, chunk), dimension=0)
             == kz
         )
+        # shared window-row base for the one-hot compares
+        row_base = jax.lax.broadcasted_iota(jnp.int32, (_BR, chunk),
+                                            dimension=0)
 
         # ---- src gather: z_e | a_src_e through the chunk's src windows
         s_win0 = swm_ref[0, j]
@@ -533,11 +536,7 @@ def _make_flash_fwd_chunk_kernel(chunk, k_pad, kz, t_dtype, negative_slope):
 
         def sbody(w, acc):
             start = (s_win0 + w) * _BR
-            srow_ids = (
-                jax.lax.broadcasted_iota(jnp.int32, (_BR, chunk), dimension=0)
-                + start
-            )
-            oh = (src_ids == srow_ids).astype(t_dtype)  # [R, C]
+            oh = (src_ids == row_base + start).astype(t_dtype)  # [R, C]
             return acc + jax.lax.dot_general(
                 packed_ref[:, pl.ds(start, _BR)],
                 oh,
@@ -552,46 +551,30 @@ def _make_flash_fwd_chunk_kernel(chunk, k_pad, kz, t_dtype, negative_slope):
         )  # [k_pad, C]: rows [:kz] = z_e, row kz = a_src_e
         a_src_e = zacc[kz : kz + 1, :]  # [1, C]
 
-        # ---- dst windows: gather [a_dst | m̂] then scatter [p·z | p]
+        # ---- dst windows: ONE walk — gather [a_dst | m̂], form this
+        # window's p (edges whose dst lies outside the window read a zero
+        # stat row and produce garbage p, but the SAME one-hot zeroes
+        # their scatter contribution), scatter [p·z | p]
         d_win0 = dwm_ref[0, j]
         d_nwin = dwm_ref[1, j]
 
-        def dgather(w, acc):
+        def dbody(w, _):
             start = (d_win0 + w) * _BR
-            drow_ids = (
-                jax.lax.broadcasted_iota(jnp.int32, (_BR, chunk), dimension=0)
-                + start
-            )
-            oh = (dst_ids == drow_ids).astype(t_dtype)  # [R, C]
-            return acc + jax.lax.dot_general(
+            oh = (dst_ids == row_base + start).astype(t_dtype)  # [R, C]
+            A = jax.lax.dot_general(
                 adst_ref[:, pl.ds(start, _BR)],
                 oh,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=gather_precision,
-            )
-
-        A = jax.lax.fori_loop(
-            0, d_nwin, dgather, jnp.zeros((8, chunk), jnp.float32),
-            unroll=False,
-        )  # rows: 0 = a_dst_e, 1 = m̂_e
-
-        pre = A[0:1, :] + a_src_e  # [1, C]
-        act = jnp.where(pre > 0, pre, negative_slope * pre)
-        # same clamp contract as the block-major bound-shift kernel: edges
-        # whose dst window was not walked in THIS chunk cannot exist (the
-        # span covers all real dst), but sentinel edges gather m̂ = 0 and
-        # need the +60 clamp to stay finite before landing in the pad row
-        p = jnp.exp(jnp.minimum(act - A[1:2, :], 60.0))  # [1, C]
-        wzp = jnp.where(krow_is_s, p, zacc * p).astype(t_dtype)  # [k_pad, C]
-
-        def dscatter(w, _):
-            start = (d_win0 + w) * _BR
-            drow_ids = (
-                jax.lax.broadcasted_iota(jnp.int32, (_BR, chunk), dimension=0)
-                + start
-            )
-            oh = (dst_ids == drow_ids).astype(t_dtype)  # [R, C]
+            )  # [8, C]: row 0 = a_dst_e, row 1 = m̂_e (this window only)
+            pre = A[0:1, :] + a_src_e  # [1, C]
+            act = jnp.where(pre > 0, pre, negative_slope * pre)
+            # clamp contract: out-of-window / sentinel edges gather m̂ = 0
+            # and need the +60 clamp to stay finite before the one-hot
+            # multiplies them by zero
+            p = jnp.exp(jnp.minimum(act - A[1:2, :], 60.0))  # [1, C]
+            wzp = jnp.where(krow_is_s, p, zacc * p).astype(t_dtype)
             out_ref[pl.ds(start, _BR), :] += jax.lax.dot_general(
                 oh,
                 wzp,
@@ -601,7 +584,7 @@ def _make_flash_fwd_chunk_kernel(chunk, k_pad, kz, t_dtype, negative_slope):
             )  # [_BR, k_pad]
             return ()
 
-        jax.lax.fori_loop(0, d_nwin, dscatter, (), unroll=False)
+        jax.lax.fori_loop(0, d_nwin, dbody, (), unroll=False)
 
     return _kernel
 
@@ -886,6 +869,8 @@ def _make_bwd_glue_kernel(chunk, k_pad, kg_pad, kz, t_dtype, ct_dtype,
 
         src_ids = sid_ref[:]  # [1, C]
         dst_ids = did_ref[:]  # [1, C]
+        row_base = jax.lax.broadcasted_iota(jnp.int32, (_BR, chunk),
+                                            dimension=0)
 
         # ---- src re-gather: z_e | a_src_e
         s_win0 = swm_ref[0, j]
@@ -893,11 +878,7 @@ def _make_bwd_glue_kernel(chunk, k_pad, kg_pad, kz, t_dtype, ct_dtype,
 
         def sbody(w, acc):
             start = (s_win0 + w) * _BR
-            srow_ids = (
-                jax.lax.broadcasted_iota(jnp.int32, (_BR, chunk), dimension=0)
-                + start
-            )
-            oh = (src_ids == srow_ids).astype(t_dtype)
+            oh = (src_ids == row_base + start).astype(t_dtype)
             return acc + jax.lax.dot_general(
                 packed_ref[:, pl.ds(start, _BR)],
                 oh,
@@ -920,11 +901,7 @@ def _make_bwd_glue_kernel(chunk, k_pad, kg_pad, kz, t_dtype, ct_dtype,
 
         def dgather(w, acc):
             start = (d_win0 + w) * _BR
-            drow_ids = (
-                jax.lax.broadcasted_iota(jnp.int32, (_BR, chunk), dimension=0)
-                + start
-            )
-            oh = (dst_ids == drow_ids).astype(jnp.float32)
+            oh = (dst_ids == row_base + start).astype(jnp.float32)
             return acc + jax.lax.dot_general(
                 gtab_ref[:, pl.ds(start, _BR)],
                 oh,
@@ -959,11 +936,7 @@ def _make_bwd_glue_kernel(chunk, k_pad, kg_pad, kz, t_dtype, ct_dtype,
 
         def dscatter(w, _):
             start = (d_win0 + w) * _BR
-            drow_ids = (
-                jax.lax.broadcasted_iota(jnp.int32, (_BR, chunk), dimension=0)
-                + start
-            )
-            oh = (dst_ids == drow_ids).astype(jnp.float32)
+            oh = (dst_ids == row_base + start).astype(jnp.float32)
             partial = jax.lax.dot_general(
                 dpre, oh,
                 dimension_numbers=(((1,), (1,)), ((), ())),

@@ -69,6 +69,7 @@ class ShardedPEATrainer(PEATrainer):
     # Sharded programs run the edge-materialized GAT paths (their softmax /
     # psum overrides don't know the analytic self-loop term).
     _analytic_gat_loops = False
+    _use_hybrid_plan = False  # sharded graph layouts are built per mode
 
     def __init__(
         self,

@@ -40,6 +40,10 @@ class PEATrainer(GraphEpochEngine):
     # streaming threshold (ops/stream_gat.py).  ShardedPEATrainer forces
     # False — its shard_map/GSPMD programs use the edge-materialized paths.
     _analytic_gat_loops = None
+    # Single-device GAT uses the hybrid shared-edge plan (models/pea.py
+    # build_hybrid_gat_plan); the sharded trainers keep their own
+    # fused/sharded graph layouts.
+    _use_hybrid_plan = True
 
     def __init__(self, hin: HINData, cfg: PEAConfig, tcfg: TrainConfig, metapath_edges=None):
         self.cfg = cfg
@@ -47,7 +51,26 @@ class PEATrainer(GraphEpochEngine):
             metapath_edges = mlsmall_metapath_edges(hin)
         assert len(metapath_edges) == cfg.num_channels
         uniform = len(set(cfg.meta_path_steps)) == 1
-        if cfg.fused and uniform:
+        if cfg.fused and uniform and cfg.conv == "gat" and self._use_hybrid_plan:
+            # GAT: per-channel graphs dedupe identical step edge lists
+            # (graph.build_metapath_graphs), so channels sharing a graph
+            # batch through ONE shared-edge kernel pass (ops/batch_gat.py)
+            # and only the rest rides the union kernels — the hybrid plan.
+            # Past the streaming threshold the builder flips to implicit
+            # self-loops and the grouped streaming path takes over instead.
+            per_channel = build_metapath_graphs(
+                metapath_edges, hin.num_nodes, cfg.conv,
+                analytic_gat_loops=self._analytic_gat_loops,
+            )
+            if any(g.gat_loops for ch in per_channel for g in ch):
+                self.graphs = per_channel  # grouped streaming path
+            else:
+                from ..models.pea import build_hybrid_gat_plan
+
+                self.graphs = build_hybrid_gat_plan(
+                    per_channel, hin.num_nodes, cfg
+                )
+        elif cfg.fused and uniform:
             self.graphs = build_fused_metapath_graphs(metapath_edges, hin.num_nodes, cfg.conv)
         else:
             self.graphs = build_metapath_graphs(
