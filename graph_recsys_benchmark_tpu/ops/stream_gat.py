@@ -64,11 +64,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_segment import _R, _block_chunk_bounds, _cdiv, _on_tpu
 
-# Per-channel column band: streamed HBM arrays are row-major [E, n_ch*128];
-# Mosaic slices full-lane-width rows out of HBM, and the physical lane
-# width is 128 — each channel pads its [z | a_src] band to 128 columns
-# (free on the 128-lane MXU/VPU).
+# Per-channel column band of the streamed row-major [E, n_ch*band]
+# arrays.  Round 4 fixed this at 128; at kz=16 that wastes 7.5x of every
+# stream byte (17 useful of 128 columns), so the band is now the SMALLEST
+# 8-multiple holding the widest per-channel payload, [g | gout | logden |
+# a_dst] = kz+3 (TPU HBM arrays are lane-tiled to 128, so the physical
+# win is ceil(n_ch*band/128) tiles vs n_ch — e.g. the 7-channel kz=16
+# group moves 2 lane-tiles instead of 7).  _KB remains the upper bound
+# (kz <= 125).
 _KB = 128
+
+
+def _band_for(kz):
+    return min(_KB, max(8, _cdiv(kz + 3, 8) * 8))
 
 # Streaming engages at and above this edge count (below it the flash /
 # composed kernels win on launch overhead even at poor locality).
@@ -82,13 +90,13 @@ STREAM_MIN_EDGES = 262144
 _STREAM_BUF_BYTES = 4 * 1024 * 1024
 
 
-def _chunk_for(n_ch, itemsize, bwd=False):
+def _chunk_for(n_ch, itemsize, kb, bwd=False):
     # Backward kernels carry ~2x the per-band temporaries (Mosaic does not
     # reuse stack buffers across the unrolled band loop), so they run at
     # half the chunk budget — measured: ph1 at n_ch=7/chunk=1024 allocates
     # 16.11M scoped VMEM, 108KB over the v5e's 16M limit.
     budget = _STREAM_BUF_BYTES // (2 if bwd else 1)
-    per_edge = 2 * n_ch * _KB * itemsize  # two buffered slots
+    per_edge = 2 * n_ch * kb * itemsize  # two buffered slots
     c = budget // per_edge
     c = 1 << (int(c).bit_length() - 1)  # floor to a power of two
     # No floor above the budget-derived chunk: clamping UP would let the
@@ -100,7 +108,14 @@ def _chunk_for(n_ch, itemsize, bwd=False):
 def _layout(num_rows, kz, n_ch):
     assert kz <= 125, "streaming GAT supports kz <= 125 feature columns"
     assert 1 <= n_ch <= 8, "streaming GAT batches at most 8 channels"
-    k_pad = n_ch * _KB
+    kb = _band_for(kz)
+    # stream width padded to a 128 multiple: Mosaic HBM memref slices
+    # must be lane-tile (128) aligned, and TPU arrays are lane-padded to
+    # 128 in HBM anyway — the pad columns are free-of-charge zeros.
+    # Band math uses stride kb over the first n_ch*kb columns; junk
+    # selector bands beyond n_ch produce finite values that land in pad
+    # columns/rows and are sliced off.
+    k_pad = _cdiv(n_ch * kb, 128) * 128
     n_blocks = max(1, _cdiv(num_rows, _R))
     return k_pad, n_blocks, n_blocks * _R
 
@@ -180,24 +195,25 @@ def _selectors(kz, n_ch, k_pad, chunk, t_dtype):
                           over its 128-col band (p_all @ expand)
       is_s   [1, k_pad] : column-kz mask;  lt_z [1, k_pad]: cols < kz
     """
+    kb = _band_for(kz)
     col = jax.lax.broadcasted_iota(jnp.int32, (k_pad, 8), dimension=0)
     ch = jax.lax.broadcasted_iota(jnp.int32, (k_pad, 8), dimension=1)
-    band, off = col // _KB, col % _KB
+    band, off = col // kb, col % kb
     in_band = band == ch
     sel_s = (in_band & (off == kz)).astype(t_dtype)
     ones_z = (in_band & (off < kz)).astype(t_dtype)
     col3 = jax.lax.broadcasted_iota(jnp.int32, (k_pad, 24), dimension=0)
     ch3 = jax.lax.broadcasted_iota(jnp.int32, (k_pad, 24), dimension=1)
-    band3, off3 = col3 // _KB, col3 % _KB
+    band3, off3 = col3 // kb, col3 % kb
     sel3 = (
         (band3 == (ch3 % 8)) & (off3 == kz + ch3 // 8)
     ).astype(jnp.float32)
     ech = jax.lax.broadcasted_iota(jnp.int32, (8, k_pad), dimension=0)
     ecol = jax.lax.broadcasted_iota(jnp.int32, (8, k_pad), dimension=1)
-    expand = (ech == ecol // _KB).astype(t_dtype)
+    expand = (ech == ecol // kb).astype(t_dtype)
     lane = jax.lax.broadcasted_iota(jnp.int32, (chunk, k_pad), dimension=1)
-    is_s = (lane % _KB) == kz
-    lt_z = (lane % _KB) < kz
+    is_s = (lane % kb) == kz
+    lt_z = (lane % kb) < kz
     return sel_s, sel3, ones_z, expand, is_s, lt_z
 
 
@@ -217,7 +233,7 @@ def _make_fwd_kernel(chunk, kz, n_ch, t_dtype, negative_slope):
                 sems):
         i = pl.program_id(0)
         row0 = i * _R
-        k_pad = n_ch * _KB
+        k_pad = _cdiv(n_ch * _band_for(kz), 128) * 128
         out_ref[:] = jnp.zeros_like(out_ref)
         drow = (
             jax.lax.broadcasted_iota(jnp.int32, (_R, chunk), dimension=0)
@@ -284,7 +300,7 @@ def _make_bwd_dst_kernel(chunk, kz, n_ch, out_cols, t_dtype, negative_slope):
                 sems):
         i = pl.program_id(0)
         row0 = i * _R
-        k_pad = n_ch * _KB
+        k_pad = _cdiv(n_ch * _band_for(kz), 128) * 128
         dadst_ref[:] = jnp.zeros_like(dadst_ref)
         drow = (
             jax.lax.broadcasted_iota(jnp.int32, (_R, chunk), dimension=0)
@@ -358,7 +374,7 @@ def _make_bwd_src_kernel(chunk, kz, n_ch, t_dtype, negative_slope):
                 sems):
         i = pl.program_id(0)
         row0 = i * _R
-        k_pad = n_ch * _KB
+        k_pad = _cdiv(n_ch * _band_for(kz), 128) * 128
         dpk_ref[:] = jnp.zeros_like(dpk_ref)
         srow = (
             jax.lax.broadcasted_iota(jnp.int32, (_R, chunk), dimension=0)
@@ -492,7 +508,7 @@ def _stream_forward(packed_e, adst2, dst, num_rows, kz, n_ch,
     band column kz, unnormalized, self-loop terms NOT included)."""
     k_pad, n_blocks, n_out = _layout(num_rows, kz, n_ch)
     itemsize = 2 if t_dtype == jnp.bfloat16 else 4
-    chunk = _chunk_for(n_ch, itemsize)
+    chunk = _chunk_for(n_ch, itemsize, _band_for(kz))
     packed_e, dst, e_pad = _pad_stream(packed_e, dst, num_rows, chunk)
     cb = _block_chunk_bounds(dst, n_blocks, chunk)
     return _run_stream_kernel(
@@ -508,7 +524,7 @@ def _stream_bwd_dst(gtab_blocks, packed_e, dst, num_rows, kz, n_ch,
                     negative_slope, interpret, t_dtype):
     k_pad, n_blocks, n_out = _layout(num_rows, kz, n_ch)
     itemsize = 2 if t_dtype == jnp.bfloat16 else 4
-    chunk = _chunk_for(n_ch, itemsize, bwd=True)
+    chunk = _chunk_for(n_ch, itemsize, _band_for(kz), bwd=True)
     packed_e, dst, e_pad = _pad_stream(packed_e, dst, num_rows, chunk)
     cb = _block_chunk_bounds(dst, n_blocks, chunk)
     out_cols = max(8, _cdiv(n_ch, 8) * 8)
@@ -527,7 +543,7 @@ def _stream_bwd_src(packed_blocks, st_e, src_sorted, num_rows, kz, n_ch,
                     negative_slope, interpret, t_dtype):
     k_pad, n_blocks, n_out = _layout(num_rows, kz, n_ch)
     itemsize = 2 if t_dtype == jnp.bfloat16 else 4
-    chunk = _chunk_for(n_ch, itemsize, bwd=True)
+    chunk = _chunk_for(n_ch, itemsize, _band_for(kz), bwd=True)
     st_e, sid, e_pad = _pad_stream(st_e, src_sorted, num_rows, chunk)
     cb = _block_chunk_bounds(sid, n_blocks, chunk)
     return _run_stream_kernel(
@@ -543,7 +559,8 @@ def _loop_terms(packed, a_dst_r, mhat, num_rows, kz, n_ch, negative_slope):
     """Per-row analytic self-loop quantities, per channel: rounded z
     [n_ch, N, kz], loop logit pre-activation [n_ch, N] and
     p = exp(act − m-hat) [n_ch, N]."""
-    bands = packed[:num_rows].reshape(num_rows, n_ch, _KB)
+    kb = _band_for(kz)
+    bands = packed[:num_rows, : n_ch * kb].reshape(num_rows, n_ch, kb)
     z_r = jnp.transpose(bands[:, :, :kz], (1, 0, 2)).astype(jnp.float32)
     asr = bands[:, :, kz].T.astype(jnp.float32)  # [n_ch, N]
     pre = a_dst_r + asr
@@ -552,19 +569,50 @@ def _loop_terms(packed, a_dst_r, mhat, num_rows, kz, n_ch, negative_slope):
     return z_r, pre, p
 
 
+def _edge_terms(packed_e, a_dst_r, mhat, dst, num_rows, kz, n_ch,
+                negative_slope):
+    """Per-edge p / z (XLA): shared by the fallback forward and backward.
+    Returns (p [E, n_ch], z_e [E, n_ch, kz], sd [E])."""
+    e = dst.shape[0]
+    sd = jnp.minimum(dst, num_rows - 1)
+    real = (dst < num_rows)[:, None]
+    kb = _band_for(kz)
+    bands = packed_e[:, : n_ch * kb].reshape(e, n_ch, kb).astype(jnp.float32)
+    a_src_e = bands[:, :, kz]  # [E, n_ch]
+    pre = a_dst_r.T[sd] + a_src_e
+    act = _leaky(pre, negative_slope)
+    p = jnp.where(real, jnp.exp(jnp.minimum(act - mhat.T[sd], 60.0)), 0.0)
+    return p, bands[:, :, :kz], sd, pre, real
+
+
+def _use_stream_kernels(interpret):
+    from . import config as _cfg
+
+    return interpret or _cfg.resolve(None, _on_tpu())
+
+
 def _fwd_common(z, a_src, a_dst, src, dst, num_rows, kz, n_ch, self_loops,
-                negative_slope, interpret, transport):
-    """z: [n_ch, N, kz]; a_src/a_dst: [n_ch, N]."""
+                negative_slope, interpret, transport, psum_axis=None):
+    """z: [n_ch, N, kz]; a_src/a_dst: [n_ch, N].
+
+    psum_axis: when set, src/dst are ONE SHARD of an edge-parallel split
+    (parallel/edge_parallel.py) and the [N]-keyed numerator / softmax
+    denominator partials are psum'd over that mesh axis before
+    normalization; the analytic self-loop term is added AFTER the psum
+    (replicated node-level math, counted exactly once).  The bound shift
+    m-hat depends only on replicated node tables, so every shard uses the
+    identical shift and partial sums combine exactly."""
     t_dtype = jnp.bfloat16 if transport == "bf16" else jnp.float32
     k_pad, n_blocks, n_out = _layout(num_rows, kz, n_ch)
-    bands = jnp.zeros((num_rows, n_ch, _KB), t_dtype)
+    kb = _band_for(kz)
+    bands = jnp.zeros((num_rows, n_ch, kb), t_dtype)
     bands = bands.at[:, :, :kz].set(
         jnp.transpose(z, (1, 0, 2)).astype(t_dtype)
     )
     bands = bands.at[:, :, kz].set(a_src.T.astype(t_dtype))
-    packed = jnp.zeros((n_out, k_pad), t_dtype).at[:num_rows].set(
-        bands.reshape(num_rows, k_pad)
-    )
+    packed = jnp.zeros((n_out, k_pad), t_dtype).at[
+        :num_rows, : n_ch * kb
+    ].set(bands.reshape(num_rows, n_ch * kb))
     # a_dst rides the transport dtype through the kernels' block tables, so
     # it is rounded ONCE here and the same value reaches forward and both
     # backward recomputations (the flash kernels' pre-rounding contract)
@@ -574,7 +622,10 @@ def _fwd_common(z, a_src, a_dst, src, dst, num_rows, kz, n_ch, self_loops,
     mhat = _leaky(a_dst_r + smax, negative_slope)
     mhat = mhat.astype(t_dtype).astype(jnp.float32)
     packed_e = packed[src]  # XLA row gather — the one random-access op
-    if dst.shape[0] > 0:
+    if dst.shape[0] == 0:
+        num = jnp.zeros((n_ch, num_rows, kz), jnp.float32)
+        s = jnp.zeros((n_ch, num_rows), jnp.float32)
+    elif _use_stream_kernels(interpret):
         # [n_out, 16]: cols c = a_dst of channel c, cols 8 + c = m-hat
         adst2 = (
             jnp.zeros((n_out, 16), jnp.float32)
@@ -585,11 +636,24 @@ def _fwd_common(z, a_src, a_dst, src, dst, num_rows, kz, n_ch, self_loops,
             packed_e, adst2, dst, num_rows, kz, n_ch, negative_slope,
             interpret, t_dtype,
         )
+        acc_b = acc[:num_rows, : n_ch * kb].reshape(num_rows, n_ch, kb)
+        num = jnp.transpose(acc_b[:, :, :kz], (1, 0, 2))  # [n_ch, N, kz]
+        s = acc_b[:, :, kz].T  # [n_ch, N]
     else:
-        acc = jnp.zeros((n_out, k_pad), jnp.float32)
-    acc_b = acc[:num_rows].reshape(num_rows, n_ch, _KB)
-    num = jnp.transpose(acc_b[:, :, :kz], (1, 0, 2))  # [n_ch, N, kz]
-    s = acc_b[:, :, kz].T  # [n_ch, N]
+        # XLA fallback (off-TPU meshes / FORCE_PALLAS=False): identical
+        # math over the rounded packed stream
+        p, z_e, sd, _, _ = _edge_terms(
+            packed_e, a_dst_r, mhat, dst, num_rows, kz, n_ch, negative_slope
+        )
+        num = jnp.transpose(
+            jax.ops.segment_sum(p[:, :, None] * z_e, sd,
+                                num_segments=num_rows),
+            (1, 0, 2),
+        )
+        s = jax.ops.segment_sum(p, sd, num_segments=num_rows).T
+    if psum_axis is not None:
+        num = jax.lax.psum(num, psum_axis)
+        s = jax.lax.psum(s, psum_axis)
     if self_loops:
         z_r, _, p_l = _loop_terms(packed, a_dst_r, mhat, num_rows, kz, n_ch,
                                   negative_slope)
@@ -599,11 +663,13 @@ def _fwd_common(z, a_src, a_dst, src, dst, num_rows, kz, n_ch, self_loops,
     return out, packed, packed_e, a_dst_r, mhat, s, t_dtype
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
 def stream_gat_attention_batched(z, a_src, a_dst, src, dst, src_perm,
                                  src_sorted, num_rows, self_loops=True,
                                  negative_slope=0.2, interpret=False,
-                                 transport="f32"):
+                                 transport="f32", psum_axis=None,
+                                 psum_scale=1.0):
     """Batched single-head GAT attention for n_ch channels sharing ONE
     loop-free, block-monotone edge list, with the PyG implicit self-loop
     added analytically per channel when ``self_loops``.
@@ -611,44 +677,78 @@ def stream_gat_attention_batched(z, a_src, a_dst, src, dst, src_perm,
     z: [n_ch, num_rows, kz]; a_src/a_dst: [n_ch, num_rows] f32; src/dst:
     int[E] (padding sentinel dst == num_rows); src_perm/src_sorted: the
     StepGraph's stable src sort.  Returns [n_ch, num_rows, kz].
-    Differentiable in z, a_src, a_dst."""
+    Differentiable in z, a_src, a_dst.
+
+    psum_axis: edge-parallel mode — src/dst are this device's shard of
+    the edge list; node-keyed partials (numerator, denominator, and in
+    the backward dz/da_src/da_dst) psum over the named mesh axis, the
+    analytic loop term is applied once on replicated math, and the
+    off-TPU mesh falls back to an identical-math XLA path.
+
+    psum_scale: 1/dp in edge-parallel mode.  The backward psums the
+    incoming cotangent (the trainer's loss tail is batch-sharded, so it
+    arrives as a per-device partial) and the edge partials, making the
+    outputs replicated TOTALS; scaling them by 1/dp hands each device an
+    equal share so the trainer's single final grads-psum restores exact
+    totals for every parameter.  The same rule is consistent at every
+    conv depth (an upstream step's cotangent arrives (1/dp)-scaled and
+    replicated; the psum multiplies it back to the total)."""
     out, *_ = _fwd_common(
         z, a_src, a_dst, src, dst, num_rows, z.shape[2], z.shape[0],
-        self_loops, negative_slope, interpret, transport,
+        self_loops, negative_slope, interpret, transport, psum_axis,
     )
     return out
 
 
 def _stream_fwd(z, a_src, a_dst, src, dst, src_perm, src_sorted, num_rows,
-                self_loops, negative_slope, interpret, transport):
+                self_loops, negative_slope, interpret, transport,
+                psum_axis=None, psum_scale=1.0):
     out, packed, packed_e, a_dst_r, mhat, s, _ = _fwd_common(
         z, a_src, a_dst, src, dst, num_rows, z.shape[2], z.shape[0],
-        self_loops, negative_slope, interpret, transport,
+        self_loops, negative_slope, interpret, transport, psum_axis,
     )
     return out, (z, a_src, a_dst, src, dst, src_perm, src_sorted,
                  packed, packed_e, a_dst_r, mhat, s, out)
 
 
 def _stream_bwd(num_rows, self_loops, negative_slope, interpret, transport,
-                res, g):
+                psum_axis, psum_scale, res, g):
     (z, a_src, a_dst, src, dst, src_perm, src_sorted,
      packed, packed_e, a_dst_r, mhat, s, out) = res
     n_ch, _, kz = z.shape
     t_dtype = jnp.bfloat16 if transport == "bf16" else jnp.float32
     k_pad, n_blocks, n_out = _layout(num_rows, kz, n_ch)
     g = g.astype(jnp.float32)  # [n_ch, N, kz]
+    if psum_axis is not None:
+        # the incoming cotangent may be a per-device PARTIAL (the edge
+        # trainer's loss tail is batch-sharded); every edge must see the
+        # TOTAL cotangent, so sum it first.  The outputs below then become
+        # replicated totals, which psum_scale (1/dp at EVERY step) turns
+        # into exactly the per-device share the trainer's single final
+        # grads-psum restores.  (For steps whose cotangent was already the
+        # (1/dp)-scaled replicated value from the step above, this psum
+        # multiplies by dp — recovering the total — so the same rule is
+        # consistent at every depth.)
+        g = jax.lax.psum(g, psum_axis)
     logden = mhat + jnp.log(s + 1e-16)  # [n_ch, N]
     gout = jnp.sum(g * out, axis=2)  # [n_ch, N]
 
     n_tab = max(n_out, num_rows + 1)
-    gbands = jnp.zeros((n_tab, n_ch, _KB), jnp.float32)
+    kb = _band_for(kz)
+    gbands = jnp.zeros((n_tab, n_ch, kb), jnp.float32)
     gbands = gbands.at[:num_rows, :, :kz].set(jnp.transpose(g, (1, 0, 2)))
     gbands = gbands.at[:num_rows, :, kz].set(gout.T)
     gbands = gbands.at[:num_rows, :, kz + 1].set(logden.T)
     gbands = gbands.at[:num_rows, :, kz + 2].set(a_dst_r.T)
-    gtab = gbands.reshape(n_tab, k_pad)
+    gtab = jnp.zeros((n_tab, k_pad), jnp.float32).at[:, : n_ch * kb].set(
+        gbands.reshape(n_tab, n_ch * kb)
+    )
 
-    if dst.shape[0] > 0:
+    if dst.shape[0] == 0:
+        da_dst = jnp.zeros((n_ch, num_rows), jnp.float32)
+        dz = jnp.zeros((n_ch, num_rows, kz), jnp.float32)
+        da_src = jnp.zeros((n_ch, num_rows), jnp.float32)
+    elif _use_stream_kernels(interpret):
         da_dst = _stream_bwd_dst(
             gtab[:n_out], packed_e, dst, num_rows, kz, n_ch, negative_slope,
             interpret, t_dtype,
@@ -662,13 +762,46 @@ def _stream_bwd(num_rows, self_loops, negative_slope, interpret, transport,
             packed, st_e, src_sorted, num_rows, kz, n_ch, negative_slope,
             interpret, t_dtype,
         )
-        dpk_b = dpk[:num_rows].reshape(num_rows, n_ch, _KB)
+        dpk_b = dpk[:num_rows, : n_ch * kb].reshape(num_rows, n_ch, kb)
         dz = jnp.transpose(dpk_b[:, :, :kz], (1, 0, 2))
         da_src = dpk_b[:, :, kz].T
     else:
-        da_dst = jnp.zeros((n_ch, num_rows), jnp.float32)
-        dz = jnp.zeros((n_ch, num_rows, kz), jnp.float32)
-        da_src = jnp.zeros((n_ch, num_rows), jnp.float32)
+        # XLA fallback: att/dpre recompute from the rounded stream +
+        # segment reductions (mirrors the two kernel phases)
+        p, z_e, sd, pre, real = _edge_terms(
+            packed_e, a_dst_r, mhat, dst, num_rows, kz, n_ch, negative_slope
+        )
+        st = gtab.astype(t_dtype).astype(jnp.float32)[
+            jnp.minimum(dst, num_rows)
+        ][:, : n_ch * kb].reshape(dst.shape[0], n_ch, kb)
+        g_e = st[:, :, :kz]
+        gout_e = st[:, :, kz]
+        logden_e = st[:, :, kz + 1]
+        act = _leaky(pre, negative_slope)
+        att = jnp.where(
+            real, jnp.exp(jnp.minimum(act - logden_e, 60.0)), 0.0
+        )  # [E, n_ch]
+        datt = jnp.sum(g_e * z_e, axis=2)
+        dalpha = att * (datt - gout_e)
+        dpre_e = dalpha * jnp.where(pre > 0, 1.0, negative_slope)
+        ss = jnp.minimum(src, num_rows - 1)
+        src_ok = (src < num_rows)[:, None]
+        dpre_e = jnp.where(src_ok, dpre_e, 0.0)
+        dz = jnp.transpose(
+            jax.ops.segment_sum(
+                jnp.where(src_ok[:, :, None], att[:, :, None] * g_e, 0.0),
+                ss, num_segments=num_rows,
+            ),
+            (1, 0, 2),
+        )
+        da_src = jax.ops.segment_sum(dpre_e, ss, num_segments=num_rows).T
+        da_dst = jax.ops.segment_sum(dpre_e, sd, num_segments=num_rows).T
+
+    if psum_axis is not None:
+        # sum the edge partials over shards -> replicated totals
+        dz = jax.lax.psum(dz, psum_axis)
+        da_src = jax.lax.psum(da_src, psum_axis)
+        da_dst = jax.lax.psum(da_dst, psum_axis)
 
     if self_loops:
         z_r, pre_l, p_l = _loop_terms(packed, a_dst_r, mhat, num_rows, kz,
@@ -683,6 +816,10 @@ def _stream_bwd(num_rows, self_loops, negative_slope, interpret, transport,
         da_src = da_src + dpre_l
         dz = dz + att_l[:, :, None] * g
 
+    if psum_axis is not None and psum_scale != 1.0:
+        dz = dz * psum_scale
+        da_src = da_src * psum_scale
+        da_dst = da_dst * psum_scale
     return (dz.astype(z.dtype), da_src.astype(a_src.dtype),
             da_dst.astype(a_dst.dtype), None, None, None, None)
 

@@ -107,15 +107,55 @@ class ShardedPEATrainer(PEATrainer):
             self._step = self.parts["step"]
             self._build_a2a_eval()
         elif mode == "edge":
-            from ..graph import build_fused_metapath_graphs
+            edges = self._resolved_edges(hin, metapath_edges)
+            # GAT: per-channel sharded graphs on the STREAMING kernel path
+            # (round-4 verdict #2 — previously every sharded trainer forced
+            # the edge-materialized union paths, locking multi-chip out of
+            # the kernels that win 1.52x at ML-25M scale).  Channels
+            # sharing an edge list batch through one kernel pass per shard;
+            # large graphs keep implicit self-loops (analytic term on
+            # replicated math); softmax partials psum over ICI.
+            stream_ok = (
+                cfg.conv == "gat"
+                and cfg.dropout == 0.0
+                and cfg.num_heads == 1
+                and len(set(cfg.meta_path_steps)) == 1
+                and max(cfg.hidden_size, cfg.repr_dim) <= 125
+            )
+            if stream_ok:
+                from ..graph import build_metapath_graphs
+                from .edge_parallel import (
+                    make_stream_edge_sharded_train_step,
+                    plan_channel_shards,
+                )
 
-            fused = build_fused_metapath_graphs(
-                self._resolved_edges(hin, metapath_edges), hin.num_nodes, cfg.conv
-            )
-            sharded = shard_fused_graphs(fused, self.n_dp)
-            jitted, _place = make_edge_sharded_train_step(
-                cfg, sharded, self.optimizer, mesh
-            )
+                per_channel = build_metapath_graphs(
+                    edges, hin.num_nodes, cfg.conv, analytic_gat_loops=None
+                )
+                # engage only at streaming scale (any step graph past the
+                # implicit-loop threshold): that's where the stream kernels
+                # win 1.52x; below it the union path keeps the exact fp
+                # order of the single-device trainers (the bound-shift
+                # softmax reorders reductions — same math, different ulps)
+                stream_ok = any(
+                    g.gat_loops for ch in per_channel for g in ch
+                )
+            if stream_ok:
+                groups, dist = plan_channel_shards(per_channel, self.n_dp)
+                jitted, _place = make_stream_edge_sharded_train_step(
+                    cfg, groups, dist, self.optimizer, mesh
+                )
+                self._stream_edge_plan = (groups, dist)
+            else:
+                from ..graph import build_fused_metapath_graphs
+
+                fused = build_fused_metapath_graphs(
+                    edges, hin.num_nodes, cfg.conv
+                )
+                sharded = shard_fused_graphs(fused, self.n_dp)
+                jitted, _place = make_edge_sharded_train_step(
+                    cfg, sharded, self.optimizer, mesh
+                )
             self._step = jitted  # inlined when traced inside the epoch scan
         else:  # dp (GSPMD)
             raw_step, _placement, _jitted = make_sharded_train_step(

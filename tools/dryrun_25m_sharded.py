@@ -83,6 +83,19 @@ def main():
             "compile_plus_first_step_s": round(step_s, 1),
             "loss": round(float(loss), 4),
         }
+        if mode == "edge":
+            # which edge path engaged (round-4 verdict #2: the streaming
+            # kernel path with per-channel sharded graphs vs the
+            # edge-materialized union fallback)
+            plan = getattr(trainer, "_stream_edge_plan", None)
+            out["modes"][mode]["stream_path"] = plan is not None
+            if plan is not None:
+                groups, _ = plan
+                out["modes"][mode]["channel_batch_groups"] = [
+                    sorted((len(chans) for chans, _ in step_groups),
+                           reverse=True)
+                    for step_groups in groups
+                ]
         print(mode, json.dumps(out["modes"][mode]))
         del trainer, params, opt_state
 
