@@ -827,7 +827,7 @@ def _flash_forward_impl(packed_t, a_dst, src, dst, num_rows, kz,
 
 
 def _make_bwd_glue_kernel(chunk, k_pad, kg_pad, kz, t_dtype, ct_dtype,
-                          negative_slope):
+                          negative_slope, fused_scatter=False):
     """Chunk-major backward GLUE kernel: everything but the src scatter.
 
     Replaces four pieces of the composed backward — the g-cotangent dst
@@ -852,7 +852,14 @@ def _make_bwd_glue_kernel(chunk, k_pad, kg_pad, kz, t_dtype, ct_dtype,
     Sentinel edges (dst == num_rows) gather an all-zero stat row, so
     datt = gout = 0 ⇒ dpre = 0 and every cotangent column vanishes (the
     +60 exp clamp keeps att finite first); the padded tail of the ct output
-    is therefore exactly zero, which is the scatter kernel's contract."""
+    is therefore exactly zero, which is the scatter kernel's contract.
+
+    fused_scatter: instead of emitting ct to HBM for a separate scatter
+    kernel, walk the chunk's src windows a second time and scatter-add ct
+    into a COLUMN-major [k_pad, n_src_pad] f32 VMEM accumulator (lane-dim
+    dynamic RMW on _BR-aligned slices — measured at parity with the
+    row-tiled scatter on v5e) — one kernel replaces two and the [k, E]
+    cotangent never touches HBM."""
     gather_precision = (
         jax.lax.Precision.DEFAULT
         if t_dtype == jnp.bfloat16
@@ -860,12 +867,16 @@ def _make_bwd_glue_kernel(chunk, k_pad, kg_pad, kz, t_dtype, ct_dtype,
     )
 
     def _kernel(swm_ref, dwm_ref, gtab_ref, packed_ref, sid_ref, did_ref,
-                ct_ref, dadst_ref):
+                out0_ref, dadst_ref):
+        # out0_ref = ct block output (composed mode) or the col-major
+        # dpk accumulator (fused_scatter mode)
         j = pl.program_id(0)
 
         @pl.when(j == 0)
         def _():
             dadst_ref[:] = jnp.zeros_like(dadst_ref)
+            if fused_scatter:
+                out0_ref[:] = jnp.zeros_like(out0_ref)
 
         src_ids = sid_ref[:]  # [1, C]
         dst_ids = did_ref[:]  # [1, C]
@@ -930,9 +941,30 @@ def _make_bwd_glue_kernel(chunk, k_pad, kg_pad, kz, t_dtype, ct_dtype,
         dalpha = att * (datt - gout_e)
         dpre = dalpha * jnp.where(pre > 0, 1.0, negative_slope)  # [1, C]
 
-        ct_ref[:] = jnp.where(
+        ct = jnp.where(
             krow == kz, dpre, jnp.where(krow < kz, G[:k_pad, :] * att, 0.0)
         ).astype(ct_dtype)
+        if fused_scatter:
+            # second src-window walk: scatter ct into the col-major VMEM
+            # accumulator through fresh one-hots (same walk bounds as the
+            # re-gather above)
+            sw0 = swm_ref[0, j]
+            sn = swm_ref[1, j]
+
+            def sscatter(w, _):
+                start = (sw0 + w) * _BR
+                oh = (src_ids == row_base + start).astype(ct_dtype)
+                out0_ref[:, pl.ds(start, _BR)] += jax.lax.dot_general(
+                    ct, oh,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=gather_precision,
+                )  # [k_pad, _BR]
+                return ()
+
+            jax.lax.fori_loop(0, sn, sscatter, (), unroll=False)
+        else:
+            out0_ref[:] = ct
 
         def dscatter(w, _):
             start = (d_win0 + w) * _BR
@@ -952,9 +984,11 @@ def _make_bwd_glue_kernel(chunk, k_pad, kg_pad, kz, t_dtype, ct_dtype,
 
 
 def _bwd_glue_impl(packed_t, gtab_t, src, dst, num_rows, kz, negative_slope,
-                   interpret, transport):
-    """Returns (ct_t [k_pad, e_pad] ct_dtype — zero-padded, scatter-ready;
-    da_dst [num_rows] f32).  gtab_t: [kg_pad, n_pad] f32 column-major."""
+                   interpret, transport, fused_scatter=False):
+    """Composed mode returns (ct_t [k_pad, e_pad] ct_dtype — zero-padded,
+    scatter-ready; da_dst [num_rows] f32); fused_scatter mode returns
+    (dpk [k_pad, n_src_pad] f32 — the finished src-side cotangent table;
+    da_dst).  gtab_t: [kg_pad, n_pad] f32 column-major."""
     from . import config as _cfg
 
     t_dtype = jnp.bfloat16 if transport == "bf16" else jnp.float32
@@ -980,6 +1014,18 @@ def _bwd_glue_impl(packed_t, gtab_t, src, dst, num_rows, kz, negative_slope,
     src_meta = _chunk_window_meta(src, n_chunks, fc, num_rows)
     dst_meta = _chunk_window_meta(dst, n_chunks, fc, num_rows + 1)
 
+    if fused_scatter:
+        out0_spec = pl.BlockSpec(
+            (k_pad, n_src_pad), lambda j, *_: (0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out0_shape = jax.ShapeDtypeStruct((k_pad, n_src_pad), jnp.float32)
+    else:
+        out0_spec = pl.BlockSpec(
+            (k_pad, fc), lambda j, *_: (0, j), memory_space=pltpu.VMEM
+        )
+        out0_shape = jax.ShapeDtypeStruct((k_pad, e_pad), ct_dtype)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_chunks,),
@@ -995,9 +1041,7 @@ def _bwd_glue_impl(packed_t, gtab_t, src, dst, num_rows, kz, negative_slope,
             pl.BlockSpec((1, fc), lambda j, *_: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec(
-                (k_pad, fc), lambda j, *_: (0, j), memory_space=pltpu.VMEM
-            ),
+            out0_spec,
             pl.BlockSpec(
                 (n_wins, _BR), lambda j, *_: (0, 0), memory_space=pltpu.VMEM
             ),
@@ -1005,29 +1049,31 @@ def _bwd_glue_impl(packed_t, gtab_t, src, dst, num_rows, kz, negative_slope,
     )
     t_item = 2 if t_dtype == jnp.bfloat16 else 4
     ct_item = 2 if ct_dtype == jnp.bfloat16 else 4
-    ct_t, dadst_w = pl.pallas_call(
+    out0, dadst_w = pl.pallas_call(
         _make_bwd_glue_kernel(fc, k_pad, kg_pad, kz, t_dtype, ct_dtype,
-                              negative_slope),
+                              negative_slope, fused_scatter=fused_scatter),
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((k_pad, e_pad), ct_dtype),
+            out0_shape,
             jax.ShapeDtypeStruct((n_wins, _BR), jnp.float32),
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * e_pad * (k_pad * _BR + kg_pad * 2 * _R + _BR),
+            flops=2 * e_pad * (k_pad * _BR * (2 if fused_scatter else 1)
+                               + kg_pad * 2 * _R + _BR),
             bytes_accessed=(
                 e_pad * 8
                 + k_pad * n_src_pad * t_item
                 + kg_pad * n_pad * 4
-                + k_pad * e_pad * ct_item
+                + (k_pad * n_src_pad * 4 if fused_scatter
+                   else k_pad * e_pad * ct_item)
                 + n_pad * 4
             ),
             transcendentals=e_pad,
         ),
     )(src_meta, dst_meta, gtab_t, packed_t.astype(t_dtype),
       src.reshape(1, -1), dst.reshape(1, -1))
-    return ct_t, dadst_w.reshape(-1)[:num_rows]
+    return out0, dadst_w.reshape(-1)[:num_rows]
 
 
 def _make_flash_bwd_kernel(chunk, k_pad, kg_pad, kz, t_dtype, negative_slope):
@@ -1385,6 +1431,23 @@ def _flash_bwd(num_rows, kz, negative_slope, interpret, transport, res, g):
         gtab_t = gtab_t.at[kz + 2, :n].set(
             a_dst.astype(t_dtype).astype(jnp.float32)
         )
+        # fully fused variant: the src scatter runs inside the glue kernel
+        # against a col-major [k_pad, n_src_pad] f32 VMEM accumulator —
+        # the [k, E] cotangent never touches HBM.  Gate on the THREE
+        # grid-resident tables fitting scoped VMEM together.
+        fused_bytes = (
+            k_pad * n_src_pad * t_item
+            + kg_pad * n_pad_g * 4
+            + k_pad * n_src_pad * 4
+        )
+        use_fused = use_glue and fused_bytes <= 13 * 1024 * 1024
+        if use_fused:
+            dpk_f, da_dst = _bwd_glue_impl(
+                packed_t, gtab_t, src, dst, num_rows, kz, negative_slope,
+                interpret, transport, fused_scatter=True,
+            )
+            return (dpk_f.astype(packed_t.dtype), da_dst.astype(a_dst.dtype),
+                    None, None, None, None)
         ct_t, da_dst = _bwd_glue_impl(
             packed_t, gtab_t, src, dst, num_rows, kz, negative_slope,
             interpret, transport,
